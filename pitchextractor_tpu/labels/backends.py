@@ -1,0 +1,324 @@
+"""Concrete F0 backends.
+
+Backend types and their reference counterparts (SURVEY.md §2.6, §2.12):
+
+- ``jax_ac``      NEW, TPU-native default: batched autocorrelation + Viterbi
+                  tracker (labels/trackers.py).  Replaces the role of the
+                  reference's pyworld harvest/dio default chain
+                  (f0_backends.py:637-640) with an on-device program.
+- ``pyworld``     host compatibility wrapper with the reference's
+                  algorithm/fallback/stonemask semantics
+                  (f0_backends.py:109-148); unavailable when pyworld is not
+                  installed — the cascade then skips it, exactly like the
+                  reference skips missing optional deps.
+- ``crepe``       CREPE CNN re-implemented in flax and jitted on TPU
+                  (labels/crepe.py); weights load from ``weights_path``
+                  (npz).  Replaces torchcrepe (f0_backends.py:151-349).
+- ``swiftf0``     SwiftF0-style STFT+CNN in flax (labels/swiftf0.py);
+                  replaces the ONNX Runtime backend (f0_backends.py:352-434).
+- ``praat`` / ``parselmouth``  host Praat wrappers, gated on parselmouth
+                  (f0_backends.py:437-584).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .base import BackendComputationError, BackendUnavailableError, BaseF0Backend
+from .trackers import TrackerParams, track_pitch, track_pitch_batch
+
+
+class JaxACBackend(BaseF0Backend):
+    """TPU-native autocorrelation/Viterbi tracker (the framework default)."""
+
+    backend_type = "jax_ac"
+    requires_accelerator = True
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.params = TrackerParams(
+            min_pitch=self._coerce_float("min_pitch", 40.0),
+            max_pitch=self._coerce_float("max_pitch", 1100.0),
+            silence_threshold=self._coerce_float("silence_threshold", 0.03),
+            voicing_threshold=self._coerce_float("voicing_threshold", 0.45),
+            octave_cost=self._coerce_float("octave_cost", 0.01),
+            octave_jump_cost=self._coerce_float("octave_jump_cost", 0.35),
+            voiced_unvoiced_cost=self._coerce_float("voiced_unvoiced_cost", 0.14),
+            periods_per_window=self._coerce_float("periods_per_window", 3.0),
+            max_candidates=int(self.config.get("max_candidates", 15) or 15),
+        )
+
+    def _hop_for(self, sr: int) -> int:
+        return max(1, int(round(self.frame_period_ms * sr / 1000.0)))
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        sr = int(sr or self.sample_rate)
+        waveform = np.asarray(audio, dtype=np.float32).reshape(-1)
+        if waveform.size == 0:
+            return np.zeros((0,), dtype=np.float64)
+        try:
+            f0 = track_pitch(waveform, sr, self._hop_for(sr), self.params)
+        except Exception as exc:  # pragma: no cover - defensive
+            raise BackendComputationError(f"jax_ac tracking failed: {exc}") from exc
+        self.log(f"jax_ac analysed {f0.shape[0]} frames at sr={sr}.")
+        return f0.astype(np.float64)
+
+    def compute_batch(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        sr = int(sr or self.sample_rate)
+        batch = np.asarray(audio, dtype=np.float32)
+        if batch.ndim == 1:
+            batch = batch[None, :]
+        out = track_pitch_batch(batch, sr, self._hop_for(sr), self.params)
+        return np.asarray(out, dtype=np.float64)
+
+
+class JaxYinBackend(BaseF0Backend):
+    """Batched YIN (de Cheveigné & Kawahara 2002) on TPU.
+
+    A cheaper alternative to ``jax_ac`` — no Viterbi pass; the cumulative
+    mean-normalized difference threshold decides voicing per frame.
+    """
+
+    backend_type = "jax_yin"
+    requires_accelerator = True
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.fmin = self._coerce_float("fmin", 40.0)
+        self.fmax = self._coerce_float("fmax", 1100.0)
+        self.threshold = self._coerce_float("threshold", 0.15)
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        return self.compute_batch(np.asarray(audio).reshape(1, -1), sr)[0]
+
+    def compute_batch(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        from .yin import yin_batch
+
+        sr = int(sr or self.sample_rate)
+        hop = max(1, int(round(self.frame_period_ms * sr / 1000.0)))
+        batch = np.asarray(audio, dtype=np.float32)
+        if batch.ndim == 1:
+            batch = batch[None, :]
+        out = yin_batch(batch, sr, hop, self.fmin, self.fmax, self.threshold)
+        return np.asarray(out, dtype=np.float64)
+
+
+class PyWorldBackend(BaseF0Backend):
+    """Host pyworld wrapper (reference f0_backends.py:109-148)."""
+
+    backend_type = "pyworld"
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        try:
+            import pyworld as pw  # type: ignore
+        except ImportError as exc:
+            raise BackendUnavailableError("pyworld is not installed") from exc
+        self._pw = pw
+        self.algorithm = self.config.get("algorithm", "harvest")
+        self.fallback_algorithm = self.config.get("fallback", "dio")
+        self.use_stonemask = bool(self.config.get("stonemask", True))
+
+    def _run_algorithm(self, algorithm: str, audio: np.ndarray, sr: int):
+        frame_period = self.frame_period_ms
+        if algorithm == "harvest":
+            return self._pw.harvest(audio, sr, frame_period=frame_period)
+        if algorithm == "dio":
+            return self._pw.dio(audio, sr, frame_period=frame_period)
+        if algorithm == "stonemask":
+            f0, t = self._pw.harvest(audio, sr, frame_period=frame_period)
+            return self._pw.stonemask(audio, f0, t, sr), t
+        raise ValueError(f"Unsupported PyWorld algorithm: {algorithm}")
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        sr = int(sr or self.sample_rate)
+        signal = np.asarray(audio).astype("double", copy=False)
+        algorithm = self.algorithm
+        f0, t = self._run_algorithm(algorithm, signal, sr)
+        min_voiced = int(self.config.get("min_voiced_frames", 5))
+        if np.count_nonzero(f0) < min_voiced and self.fallback_algorithm:
+            self.log(
+                f"Primary algorithm '{algorithm}' returned too few voiced frames; "
+                f"switching to '{self.fallback_algorithm}'."
+            )
+            f0, t = self._run_algorithm(self.fallback_algorithm, signal, sr)
+        if self.use_stonemask and algorithm != "stonemask":
+            f0 = self._pw.stonemask(signal, f0, t, sr)
+        return f0.astype(np.float64)
+
+
+class CrepeBackend(BaseF0Backend):
+    """CREPE CNN in flax, batched on TPU (reference f0_backends.py:151-349).
+
+    Weights load from ``weights_path`` (npz produced by
+    ``tools/convert_crepe_weights.py``).  Missing weights make the backend
+    unavailable — analogous to the reference's missing-torchcrepe case.
+    """
+
+    backend_type = "crepe"
+    requires_accelerator = True
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        from .crepe import CrepeLabeler, CREPE_CAPACITIES
+
+        self.model = str(self.config.get("model", "full"))
+        if self.model not in CREPE_CAPACITIES:
+            raise ValueError(f"Unknown CREPE capacity '{self.model}'")
+        self.step_size_ms = self._coerce_float("step_size_ms", self.frame_period_ms)
+        self.fmin = self._coerce_float("fmin", 50.0)
+        self.fmax = self._coerce_float("fmax", 1100.0)
+        self.batch_size = int(self.config.get("batch_size", 1024) or 1024)
+        self.return_periodicity = bool(self.config.get("return_periodicity", True))
+        self.periodicity_threshold = self._coerce_float("periodicity_threshold", 0.1)
+        self.use_median_filter = int(self.config.get("median_filter_size", 0) or 0)
+        if self.use_median_filter < 0:
+            raise ValueError("median_filter_size must be >= 0")
+
+        weights_path = self.config.get("weights_path")
+        self._labeler = CrepeLabeler(
+            capacity=self.model,
+            weights_path=weights_path,
+            fmin=self.fmin,
+            fmax=self.fmax,
+        )
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        sr = int(sr or self.sample_rate)
+        waveform = np.asarray(audio, dtype=np.float32).reshape(-1)
+        hop = max(1, int(round(self.step_size_ms * sr / 1000.0)))
+        f0, periodicity = self._labeler.predict(waveform, sr, hop)
+        if self.use_median_filter > 1:
+            from .filters import median_filter_1d
+
+            f0 = median_filter_1d(f0, self.use_median_filter)
+            periodicity = median_filter_1d(periodicity, self.use_median_filter)
+        f0 = f0.astype(np.float64)
+        if self.return_periodicity and self.periodicity_threshold > 0:
+            f0[periodicity < self.periodicity_threshold] = 0.0
+        self.log(
+            "CREPE analysed %d frames with mean periodicity %.3f."
+            % (f0.shape[0], float(periodicity.mean()) if periodicity.size else 0.0)
+        )
+        return f0
+
+
+class SwiftF0Backend(BaseF0Backend):
+    """SwiftF0-style STFT+CNN labeler in flax (reference f0_backends.py:352-434)."""
+
+    backend_type = "swiftf0"
+    requires_accelerator = True
+
+    # SwiftF0's model operates at 16 kHz with hop 256 (16 ms frames); the
+    # reference exposes that as the default frame period for cache
+    # consistency (f0_backends.py:367-371).
+    TARGET_SAMPLE_RATE = 16000
+    HOP_LENGTH = 256
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        model_frame_period_ms = 1000.0 * self.HOP_LENGTH / self.TARGET_SAMPLE_RATE
+        self.config.setdefault("frame_period_ms", model_frame_period_ms)
+
+        from .swiftf0 import SwiftF0Labeler
+
+        def _maybe_float(key):
+            value = self.config.get(key)
+            if value is None:
+                return None
+            try:
+                return float(value)
+            except (TypeError, ValueError) as exc:
+                raise ValueError(
+                    f"Invalid float value for '{key}' in SwiftF0 backend: {value!r}"
+                ) from exc
+
+        self.confidence_threshold = _maybe_float("confidence_threshold")
+        self.fmin = _maybe_float("fmin")
+        self.fmax = _maybe_float("fmax")
+        self.zero_unvoiced = bool(self.config.get("zero_unvoiced", True))
+        unvoiced_value = self.config.get("unvoiced_value", 0.0)
+        try:
+            self.unvoiced_value = float(0.0 if unvoiced_value is None else unvoiced_value)
+        except (TypeError, ValueError) as exc:
+            raise ValueError(
+                f"Invalid float value for 'unvoiced_value' in SwiftF0 backend: "
+                f"{unvoiced_value!r}"
+            ) from exc
+
+        self._labeler = SwiftF0Labeler(
+            weights_path=self.config.get("weights_path"),
+            confidence_threshold=self.confidence_threshold,
+            fmin=self.fmin,
+            fmax=self.fmax,
+        )
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        sr = int(sr or self.sample_rate)
+        waveform = np.asarray(audio, dtype=np.float32).reshape(-1)
+        try:
+            f0, confidence, voicing = self._labeler.detect(waveform, sr)
+        except BackendUnavailableError:
+            raise
+        except Exception as exc:  # pragma: no cover - defensive
+            raise BackendComputationError(f"SwiftF0 failed to compute F0: {exc}") from exc
+        f0 = np.asarray(f0, dtype=np.float64)
+        mean_conf = float(np.mean(confidence)) if confidence.size else 0.0
+        self.log(f"SwiftF0 analysed {f0.size} frames with mean confidence {mean_conf:.3f}.")
+        if self.zero_unvoiced and voicing.size:
+            f0 = f0.copy()
+            f0[~voicing.astype(bool)] = self.unvoiced_value
+        return f0
+
+
+class PraatBackend(BaseF0Backend):
+    """Host Praat wrapper via parselmouth (reference f0_backends.py:437-578)."""
+
+    backend_type = "praat"
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        try:
+            import parselmouth  # type: ignore
+        except ImportError as exc:
+            raise BackendUnavailableError(
+                "parselmouth (Praat bindings) is not installed"
+            ) from exc
+        self._parselmouth = parselmouth
+        self.min_pitch = self._coerce_float("min_pitch", 40.0)
+        self.max_pitch = self._coerce_float("max_pitch", 1100.0)
+        self.silence_threshold = self._coerce_float("silence_threshold", 0.03)
+        self.voicing_threshold = self._coerce_float("voicing_threshold", 0.45)
+        self.octave_cost = self._coerce_float("octave_cost", 0.01)
+        self.octave_jump_cost = self._coerce_float("octave_jump_cost", 1.0)
+        self.voiced_unvoiced_cost = self._coerce_float("voiced_unvoiced_cost", 0.3)
+        self.method = str(self.config.get("method", "ac") or "ac").strip().lower()
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        sr = int(sr or self.sample_rate)
+        sound = self._parselmouth.Sound(np.asarray(audio), sampling_frequency=sr)
+        time_step = self.frame_period_ms / 1000.0
+        kwargs = dict(
+            time_step=time_step,
+            pitch_floor=self.min_pitch,
+            pitch_ceiling=self.max_pitch,
+            silence_threshold=self.silence_threshold,
+            voicing_threshold=self.voicing_threshold,
+            octave_cost=self.octave_cost,
+            octave_jump_cost=self.octave_jump_cost,
+            voiced_unvoiced_cost=self.voiced_unvoiced_cost,
+        )
+        if self.method in {"cc", "crosscorrelation"}:
+            pitch = sound.to_pitch_cc(**kwargs)
+        else:
+            pitch = sound.to_pitch_ac(**kwargs)
+        values = pitch.selected_array["frequency"]
+        return np.asarray(values, dtype=np.float64)
+
+
+class ParselmouthBackend(PraatBackend):
+    """Alias backend (reference f0_backends.py:581-584)."""
+
+    backend_type = "parselmouth"

@@ -1,0 +1,146 @@
+"""SwiftF0-style spectrogram-CNN pitch estimator in flax.
+
+Replaces the reference's ONNX-Runtime SwiftF0 backend (f0_backends.py:352-434).
+The model contract matches the official package: 16 kHz input, STFT hop 256
+(16 ms frames), a small CNN over a band-limited log-spectrogram patch, pitch
+bins decoded with confidence thresholding.
+
+Weights load from an ``.npz`` (``tools/convert_swiftf0_weights.py``); without
+weights the backend is unavailable — the cascade skips it just like the
+reference skips a missing ``swift_f0`` package.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import flax.linen as nn
+
+from .base import BackendUnavailableError
+from ..dsp.resample import resample_np
+from ..dsp.stft import stft_np
+
+TARGET_SAMPLE_RATE = 16000
+HOP_LENGTH = 256
+N_FFT = 1024
+# Band-limited input: bins covering ~46.9 Hz .. 2109 Hz (SwiftF0's useful range)
+BIN_LO = 3
+BIN_HI = 135
+N_BINS_IN = BIN_HI - BIN_LO  # 132 spectrogram rows
+PITCH_BINS = 200
+FMIN_MODEL = 46.875
+FMAX_MODEL = 2093.75
+
+
+def _pitch_bin_frequencies() -> np.ndarray:
+    """Log-spaced bin center frequencies."""
+    return np.geomspace(FMIN_MODEL, FMAX_MODEL, PITCH_BINS).astype(np.float32)
+
+
+class SwiftF0Model(nn.Module):
+    """Small conv net over (B, T, N_BINS_IN) log-spectrogram -> per-frame bins."""
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, F) -> treat F as the spatial axis with conv1d over it,
+        # per-frame (time is the batch-like axis).
+        B, T, F = x.shape
+        h = x.reshape((B * T, F, 1))
+        for i, (ch, w) in enumerate([(32, 7), (64, 5), (128, 3)]):
+            h = nn.Conv(ch, kernel_size=(w,), padding="SAME", name=f"conv{i + 1}")(h)
+            h = nn.relu(h)
+            h = nn.max_pool(h, window_shape=(2,), strides=(2,))
+        h = h.reshape((B * T, -1))
+        h = nn.Dense(256, name="fc1")(h)
+        h = nn.relu(h)
+        logits = nn.Dense(PITCH_BINS, name="fc2")(h)
+        return logits.reshape((B, T, PITCH_BINS))
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn",))
+def _forward(apply_fn, variables, spec):
+    logits = apply_fn(variables, spec)
+    probs = jax.nn.softmax(logits, axis=-1)
+    freqs = jnp.asarray(_pitch_bin_frequencies())
+    center = jnp.argmax(probs, axis=-1)
+    confidence = jnp.max(probs, axis=-1)
+    # local weighted average in log-frequency space (±2 bins)
+    offsets = jnp.arange(-2, 3)
+    idx = jnp.clip(center[..., None] + offsets, 0, PITCH_BINS - 1)
+    p = jnp.take_along_axis(probs, idx, axis=-1)
+    logf = jnp.log(freqs)[idx]
+    f0 = jnp.exp(jnp.sum(p * logf, axis=-1) / jnp.maximum(jnp.sum(p, axis=-1), 1e-12))
+    return f0, confidence
+
+
+class SwiftF0Labeler:
+    def __init__(
+        self,
+        weights_path: Optional[str] = None,
+        confidence_threshold: Optional[float] = 0.9,
+        fmin: Optional[float] = None,
+        fmax: Optional[float] = None,
+    ) -> None:
+        self.confidence_threshold = (
+            0.9 if confidence_threshold is None else float(confidence_threshold)
+        )
+        self.fmin = FMIN_MODEL if fmin is None else max(float(fmin), FMIN_MODEL)
+        self.fmax = FMAX_MODEL if fmax is None else min(float(fmax), FMAX_MODEL)
+        self.model = SwiftF0Model()
+
+        if weights_path is None:
+            weights_path = os.environ.get("PEX_SWIFTF0_WEIGHTS")
+        if not weights_path or not os.path.isfile(str(weights_path)):
+            raise BackendUnavailableError(
+                f"SwiftF0 weights not found (weights_path={weights_path!r}); "
+                "convert them with tools/convert_swiftf0_weights.py or set "
+                "PEX_SWIFTF0_WEIGHTS"
+            )
+        self.variables = load_swiftf0_weights(str(weights_path))
+
+    def detect(
+        self, waveform: np.ndarray, sr: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (pitch_hz, confidence, voicing) at the model frame rate."""
+        waveform = np.asarray(waveform, dtype=np.float32).reshape(-1)
+        if sr != TARGET_SAMPLE_RATE:
+            waveform = resample_np(waveform, sr, TARGET_SAMPLE_RATE)
+        spec = np.abs(
+            stft_np(waveform, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=N_FFT)
+        ).astype(np.float32)
+        patch = np.log(spec[BIN_LO:BIN_HI, :].T + 1e-8)[None, ...]  # (1, T, F)
+        f0, confidence = _forward(self.model.apply, self.variables, jnp.asarray(patch))
+        f0 = np.asarray(f0[0], dtype=np.float64)
+        confidence = np.asarray(confidence[0], dtype=np.float64)
+        voicing = (
+            (confidence >= self.confidence_threshold)
+            & (f0 >= self.fmin)
+            & (f0 <= self.fmax)
+        )
+        return f0, confidence, voicing
+
+
+def load_swiftf0_weights(path: str):
+    data = np.load(path)
+    params = {}
+    for name in ("conv1", "conv2", "conv3", "fc1", "fc2"):
+        params[name] = {
+            "kernel": jnp.asarray(data[f"{name}.kernel"]),
+            "bias": jnp.asarray(data[f"{name}.bias"]),
+        }
+    return {"params": params}
+
+
+def save_swiftf0_weights(path: str, variables) -> None:
+    arrays = {}
+    for name, leaf in variables["params"].items():
+        arrays[f"{name}.kernel"] = np.asarray(leaf["kernel"])
+        arrays[f"{name}.bias"] = np.asarray(leaf["bias"])
+    np.savez(path, **arrays)

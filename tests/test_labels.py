@@ -1,0 +1,287 @@
+"""F0 labeling subsystem tests.
+
+Accuracy is gated against analytic ground truth (the reference's own test
+philosophy: synthetic fixtures with exact contours, SURVEY.md §4.2), and the
+facade semantics (cache identifiers, cascade fallback, align_length) replicate
+reference f0_backends.py behaviours.
+"""
+
+import numpy as np
+import pytest
+
+from pitchextractor_tpu.labels import (
+    BackendComputationError,
+    BackendUnavailableError,
+    BaseF0Backend,
+    F0Extractor,
+    build_f0_extractor,
+)
+from pitchextractor_tpu.labels.registry import (
+    coerce_enabled_flag,
+    normalise_backend_name,
+    register_backend,
+)
+from pitchextractor_tpu.labels.trackers import TrackerParams, track_pitch, track_pitch_batch
+from pitchextractor_tpu.labels.yin import yin_batch
+from pitchextractor_tpu.labels.filters import median_filter_1d
+
+SR = 24000
+HOP = 300
+
+
+def _tone(freq=220.0, seconds=1.0, sr=SR, amp=0.5):
+    t = np.arange(int(sr * seconds)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def _vibrato(base=220.0, rate=5.0, depth_cents=100.0, seconds=1.0, sr=SR):
+    t = np.arange(int(sr * seconds)) / sr
+    f0 = base * 2.0 ** ((depth_cents / 1200.0) * np.sin(2 * np.pi * rate * t))
+    phase = np.cumsum(2 * np.pi * f0 / sr)
+    return (0.5 * np.sin(phase)).astype(np.float32), f0
+
+
+def _rpa(pred, ref, tol_cents=50.0):
+    voiced = (ref > 0) & (pred > 0)
+    assert voiced.mean() > 0.5
+    cents = 1200.0 * np.abs(np.log2(pred[voiced] / ref[voiced]))
+    return (cents <= tol_cents).mean()
+
+
+# ---------------------------------------------------------------- trackers
+@pytest.mark.parametrize("freq", [110.0, 220.0, 440.0, 880.0])
+def test_jax_ac_pure_tone(freq):
+    f0 = track_pitch(_tone(freq), SR, HOP)
+    frames = f0.shape[0]
+    assert frames == 1 + int(SR * 1.0) // HOP
+    interior = f0[5:-5]
+    voiced = interior[interior > 0]
+    assert voiced.size > 0.9 * interior.size
+    cents = 1200 * np.abs(np.log2(voiced / freq))
+    assert np.median(cents) < 10.0
+    assert (cents <= 50).mean() > 0.97
+
+
+def test_jax_ac_vibrato_tracks_modulation():
+    audio, f0_true = _vibrato()
+    pred = track_pitch(audio, SR, HOP)
+    ref = f0_true[:: HOP][: pred.shape[0]]
+    n = min(len(pred), len(ref))
+    assert _rpa(pred[5 : n - 5], ref[5 : n - 5]) > 0.95
+
+
+def test_jax_ac_silence_is_unvoiced():
+    audio = np.zeros(SR, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    audio += 1e-4 * rng.standard_normal(SR).astype(np.float32)
+    f0 = track_pitch(audio, SR, HOP)
+    assert np.count_nonzero(f0) <= 2
+
+
+def test_jax_ac_voiced_unvoiced_segments():
+    audio = np.concatenate([_tone(220.0, 0.5), np.zeros(SR // 2, np.float32), _tone(330.0, 0.5)])
+    f0 = track_pitch(audio, SR, HOP)
+    third = f0.shape[0] // 3
+    assert np.count_nonzero(f0[5 : third - 5]) > 0.8 * (third - 10)
+    mid = f0[third + 5 : 2 * third - 5]
+    assert np.count_nonzero(mid) < 0.2 * mid.size
+    tail = f0[2 * third + 5 : -5]
+    voiced_tail = tail[tail > 0]
+    assert np.median(np.abs(1200 * np.log2(voiced_tail / 330.0))) < 20
+
+
+def test_track_pitch_batch_matches_single():
+    batch = np.stack([_tone(220.0), _tone(440.0)])
+    out = np.asarray(track_pitch_batch(batch, SR, HOP))
+    single = track_pitch(batch[1], SR, HOP)
+    np.testing.assert_allclose(out[1], single, atol=1e-4)
+
+
+def test_yin_pure_tone():
+    f0 = np.asarray(yin_batch(_tone(220.0)[None, :], SR, HOP))[0]
+    interior = f0[5:-5]
+    voiced = interior[interior > 0]
+    assert voiced.size > 0.9 * interior.size
+    assert np.median(np.abs(1200 * np.log2(voiced / 220.0))) < 10
+
+
+def test_median_filter():
+    x = np.array([1.0, 1.0, 9.0, 1.0, 1.0])
+    np.testing.assert_array_equal(median_filter_1d(x, 3), [1, 1, 1, 1, 1])
+    np.testing.assert_array_equal(median_filter_1d(x, 1), x)
+
+
+# ---------------------------------------------------------------- facade
+def test_default_extractor_uses_jax_ac():
+    ext = build_f0_extractor(SR, HOP, config={}, verbose=False)
+    assert ext.describe_backends()[0] == "jax_ac"
+    assert ext.cache_identifier.startswith("-jax_ac")
+    result = ext.compute(_tone(220.0))
+    assert result.backend_name == "jax_ac"
+    assert result.f0.dtype == np.float64
+    assert np.count_nonzero(result.f0) > 5
+
+
+def test_reference_config_shape_skips_unavailable():
+    """A reference-style config: pyworld/praat declared but their native deps
+    are not installed -> skipped with reasons; enabled jax backends run."""
+    config = {
+        "bad_f0_threshold": 5,
+        "backend_order": ["pyworld_harvest", "my_tracker", "praat"],
+        "backends": {
+            "pyworld_harvest": {
+                "type": "pyworld",
+                "enabled": True,
+                "config": {"algorithm": "harvest", "fallback": "dio"},
+            },
+            "my_tracker": {"type": "jax_ac", "enabled": True, "config": {}},
+            "praat": {"type": "praat", "enabled": "yes", "config": {}},
+        },
+    }
+    ext = build_f0_extractor(SR, HOP, config=config)
+    assert ext.describe_backends() == ["my_tracker"]
+    skipped = " ".join(ext.describe_skipped_backends())
+    assert "pyworld_harvest" in skipped and "praat" in skipped
+    assert ext.cache_identifier == "-my_tracker"
+
+
+def test_disabled_and_unconfigured_backends_are_skipped():
+    config = {
+        "backend_order": ["a", "b", "c"],
+        "backends": {
+            "a": {"type": "jax_ac", "enabled": False},
+            "b": {"type": "jax_yin", "enabled": "on"},
+        },
+    }
+    ext = build_f0_extractor(SR, HOP, config=config)
+    assert ext.describe_backends() == ["b"]
+    reasons = ext.describe_skipped_backends()
+    assert any("disabled" in r for r in reasons)
+    assert any("not configured" in r for r in reasons)
+
+
+def test_cache_identifier_changes_with_chain_and_suffix():
+    e1 = build_f0_extractor(SR, HOP, config={"backends": {"x": {"type": "jax_ac"}}})
+    e2 = build_f0_extractor(
+        SR,
+        HOP,
+        config={"backends": {"x": {"type": "jax_ac", "config": {"cache_key_suffix": "v2"}}}},
+    )
+    assert e1.cache_identifier == "-x"
+    assert e2.cache_identifier == "-x_v2"
+
+
+class _FailingBackend(BaseF0Backend):
+    backend_type = "always_fails"
+
+    def compute(self, audio, sr=None):
+        raise RuntimeError("boom")
+
+
+class _SparseBackend(BaseF0Backend):
+    backend_type = "too_sparse"
+
+    def compute(self, audio, sr=None):
+        out = np.zeros(100)
+        out[0] = 220.0  # only 1 voiced frame < bad_f0_threshold
+        return out
+
+
+def test_cascade_falls_through_failures_and_sparse_contours():
+    register_backend("always_fails", _FailingBackend)
+    register_backend("too_sparse", _SparseBackend)
+    config = {
+        "bad_f0_threshold": 5,
+        "backend_order": ["f", "s", "good"],
+        "backends": {
+            "f": {"type": "always_fails"},
+            "s": {"type": "too_sparse"},
+            "good": {"type": "jax_ac"},
+        },
+    }
+    ext = build_f0_extractor(SR, HOP, config=config)
+    result = ext.compute(_tone(220.0))
+    assert result.backend_name == "good"
+
+
+def test_cascade_all_fail_raises():
+    register_backend("always_fails", _FailingBackend)
+    ext = build_f0_extractor(
+        SR, HOP, config={"backends": {"f": {"type": "always_fails"}}}
+    )
+    with pytest.raises(BackendComputationError):
+        ext.compute(_tone(220.0))
+
+
+def test_no_usable_backends_raises():
+    with pytest.raises(RuntimeError):
+        F0Extractor(SR, HOP, config={"backends": {"x": {"type": "nonexistent_type"}}})
+
+
+def test_crepe_without_weights_is_unavailable():
+    config = {
+        "backend_order": ["crepe", "jax_ac"],
+        "backends": {
+            "crepe": {"type": "crepe", "config": {"model": "tiny", "weights_path": "/nonexistent.npz"}},
+            "jax_ac": {"type": "jax_ac"},
+        },
+    }
+    ext = build_f0_extractor(SR, HOP, config=config)
+    assert ext.describe_backends() == ["jax_ac"]
+    assert any("crepe" in s and "unavailable" in s for s in ext.describe_skipped_backends())
+
+
+# ------------------------------------------------------------- align_length
+def test_align_length_identity_and_empty():
+    ext = build_f0_extractor(SR, HOP)
+    v = np.array([100.0, 200.0, 300.0])
+    np.testing.assert_array_equal(ext.align_length(v, 3), v.astype(np.float32))
+    assert ext.align_length(v, 0).shape == (0,)
+    np.testing.assert_array_equal(ext.align_length(np.zeros(0), 4), np.zeros(4, np.float32))
+
+
+def test_align_length_preserves_zeros():
+    ext = build_f0_extractor(SR, HOP)
+    v = np.array([220.0, 0.0, 220.0, 220.0])
+    out = ext.align_length(v, 8)
+    assert out.shape == (8,)
+    # target indices nearest to the source zero must be exactly zero
+    target_idx = np.linspace(0, 3, 8)
+    nearest = np.clip(np.round(target_idx).astype(int), 0, 3)
+    assert np.all(out[nearest == 1] == 0.0)
+    # and the reference formula reproduced verbatim
+    expected = np.interp(target_idx, np.linspace(0, 3, 4), v)
+    expected[(v == 0.0)[nearest]] = 0.0
+    np.testing.assert_allclose(out, expected.astype(np.float32))
+
+
+def test_align_length_interpolates():
+    ext = build_f0_extractor(SR, HOP)
+    v = np.array([100.0, 200.0])
+    out = ext.align_length(v, 3)
+    np.testing.assert_allclose(out, [100.0, 150.0, 200.0])
+
+
+# ------------------------------------------------------------- name/flags
+def test_normalise_backend_name():
+    assert normalise_backend_name("PyWorld-Harvest!") == "pyworld_harvest"
+    assert normalise_backend_name("  Praat  ") == "praat"
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [("yes", True), ("ON", True), ("1", True), ("off", False), ("0", False),
+     ("false", False), ("", False), (True, True), (0, False), (None, False)],
+)
+def test_coerce_enabled_flag(value, expected):
+    assert coerce_enabled_flag(value) is expected
+
+
+def test_batched_extractor_compute():
+    ext = build_f0_extractor(SR, HOP)
+    batch = np.stack([_tone(220.0), _tone(440.0)])
+    out = ext.compute_batch(batch)
+    assert out.shape[0] == 2
+    for i, freq in enumerate([220.0, 440.0]):
+        voiced = out[i][out[i] > 0]
+        assert np.median(np.abs(1200 * np.log2(voiced / freq))) < 20
