@@ -1,0 +1,695 @@
+"""Host data pipeline: lazy random-segment loading, on-disk label/feature
+caches, synthetic augmentation routing.
+
+Behavioural port of the reference ``MelDataset`` (meldataset.py:42-788) with
+the same disk-cache contract:
+
+- ``{path}_f0{cache_identifier}.npy`` float32 contour + ``..._f0{id}.json``
+  metadata ``{cache_identifier, backend, sample_rate, hop_length}``
+  (meldataset.py:519-619), legacy ``{path}_f0.npy`` fallback;
+- ``{path}_mel.npy`` float32 (n_mels, frames) raw mel + ``{path}_mel_meta.json``
+  ``{audio_sample_rate, audio_num_samples, audio_num_channels,
+  dataset_sample_rate, mel_params}`` with one-shot global invalidation on
+  mismatch (meldataset.py:679-788);
+- random 2.4 s (192-frame) segments via header-metadata partial reads
+  (meldataset.py:178-245); unreadable files marked invalid and skipped
+  round-robin (meldataset.py:248-283);
+- training example: ``(log(1e-5+mel)+4)/4`` norm, zero-preserving F0 length
+  alignment, silence mask = (f0 == 0), random 192-frame crop, NaN fill
+  (meldataset.py:629-677).
+
+Deliberate departures (documented per SURVEY.md §7 quirk list):
+- module-level ``np.random.seed(1)`` is replaced by an explicit per-dataset
+  ``np.random.Generator`` (``seed`` argument);
+- the reference's dead Collater random-slice branch is omitted;
+- samples are plain numpy arrays — device placement happens once per batch
+  in the training step, not per item.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import math
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import normalize_mel_params, parse_data_list
+from ..dsp.mel import MelSpectrogram, MEL_LOG_OFFSET
+from ..dsp.pitch_shift import pitch_shift
+from ..dsp.resample import resample_np
+from ..io.audio import AudioDecodeError, audio_info, read_audio
+from ..labels import BackendComputationError, build_f0_extractor
+from .synthetic import HarmonicSynthesizer
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_MEL_PARAMS = {
+    "sample_rate": 24000,
+    "n_mels": 80,
+    "n_fft": 1024,
+    "win_length": 1024,
+    "hop_length": 300,
+}
+
+
+class MelDataset:
+    def __init__(
+        self,
+        data_list: Sequence[str],
+        sr: Optional[int] = DEFAULT_MEL_PARAMS["sample_rate"],
+        mel_params: Optional[Dict] = None,
+        f0_params: Optional[Dict] = None,
+        data_augmentation: bool = False,
+        validation: bool = False,
+        verbose: bool = True,
+        synthetic_data: Optional[Dict] = None,
+        seed: int = 1,
+    ) -> None:
+        self.verbose = verbose
+        self.rng = np.random.default_rng(seed)
+        self.data_list = parse_data_list(data_list)
+
+        self.mel_params = normalize_mel_params(mel_params)
+        if sr is not None:
+            self.sr = int(sr)
+        else:
+            self.sr = int(self.mel_params.get("sample_rate", DEFAULT_MEL_PARAMS["sample_rate"]))
+        self.mel_params["sample_rate"] = self.sr
+
+        if self.verbose:
+            print(f"[MelDataset] Using mel-spectrogram parameters: {self.mel_params}")
+        logger.info("Using mel-spectrogram parameters: %s", self.mel_params)
+
+        self.to_melspec = MelSpectrogram(
+            sample_rate=self.sr,
+            n_fft=self.mel_params["n_fft"],
+            win_length=self.mel_params["win_length"],
+            hop_length=self.mel_params["hop_length"],
+            n_mels=self.mel_params["n_mels"],
+        )
+
+        self.f0_params = f0_params or {}
+        try:
+            self.f0_extractor = build_f0_extractor(
+                sr=self.sr,
+                hop_length=self.mel_params["hop_length"],
+                config=self.f0_params,
+                verbose=self.verbose,
+            )
+        except Exception as exc:
+            raise RuntimeError(f"Failed to initialise F0 extractor: {exc}") from exc
+
+        self.f0_cache_suffix = f"_f0{self.f0_extractor.cache_identifier}.npy"
+        self.f0_meta_suffix = self.f0_cache_suffix.replace(".npy", ".json")
+        if self.verbose:
+            active = self.f0_extractor.describe_backends()
+            print(f"[MelDataset] F0 backends in use: {', '.join(active) if active else 'none'}")
+            skipped = self.f0_extractor.describe_skipped_backends()
+            if skipped:
+                print(f"[MelDataset] Skipped F0 backends: {', '.join(skipped)}")
+
+        self._mel_cache_suffix = "_mel.npy"
+        self._mel_meta_suffix = "_mel_meta.json"
+        self._mel_cache_invalidated = False
+        self._cache_enabled = True
+
+        self._audio_metadata_cache: Dict[str, Dict] = {}
+        self._invalid_paths: set = set()
+
+        self.mean, self.std = -4, 4
+        self.data_augmentation = data_augmentation and (not validation)
+        self.max_mel_length = 192
+
+        self.zero_value = float(self.f0_params.get("zero_fill_value", 0.0))
+        self.bad_F0 = int(
+            self.f0_params.get("bad_f0_threshold", self.f0_extractor.bad_f0_threshold)
+        )
+
+        # synthetic augmentation (reference meldataset.py:120-142, 324-380)
+        self._base_length = len(self.data_list)
+        self.synthetic_config = synthetic_data or {}
+        self.synthetic_enabled = bool(self.synthetic_config.get("enabled", False))
+        self.synthetic_apply_to_validation = bool(
+            self.synthetic_config.get("apply_to_validation", False)
+        )
+        if validation and not self.synthetic_apply_to_validation:
+            self.synthetic_enabled = False
+        self._synthetic_generators: List[str] = []
+        self._synthetic_count = 0
+        self._synthesizer: Optional[HarmonicSynthesizer] = None
+        if self.synthetic_enabled:
+            self._initialise_synthetic_generators()
+        if self.verbose and self.synthetic_enabled:
+            print(
+                "[MelDataset] Synthetic data enabled: "
+                f"{{'count': {self._synthetic_count}, 'strategies': {self._synthetic_generators}}}"
+            )
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        if not self.synthetic_enabled:
+            return self._base_length
+        return self._base_length + self._synthetic_count
+
+    def __getitem__(self, idx: int):
+        if self.synthetic_enabled and idx >= self._base_length:
+            return self._generate_synthetic_sample()
+        total_items = len(self.data_list)
+        if total_items == 0:
+            raise IndexError("MelDataset is empty")
+        attempts = 0
+        while attempts < total_items:
+            data_index = (idx + attempts) % total_items
+            data = self.data_list[data_index]
+            if data in self._invalid_paths:
+                attempts += 1
+                continue
+            try:
+                return self.path_to_mel_and_label(data)
+            except (FileNotFoundError, AudioDecodeError, RuntimeError, OSError, ValueError) as exc:
+                self._mark_path_invalid(data, exc)
+                attempts += 1
+                continue
+        raise RuntimeError("No valid audio files could be loaded from the dataset")
+
+    # ------------------------------------------------------------------
+    def path_to_mel_and_label(self, path: str):
+        """Random-segment lazy load (reference meldataset.py:178-245)."""
+        metadata = self._get_audio_metadata(path)
+        source_sr = metadata.get("sample_rate")
+        total_frames = int(metadata.get("frames", 0) or 0)
+
+        hop_length = int(self.mel_params["hop_length"])
+        target_frames = int(self.max_mel_length)
+
+        segment_frames = None
+        start_frame = 0
+        use_full_file = True
+        if target_frames > 0 and source_sr and total_frames > 0:
+            base_duration = (target_frames * hop_length) / float(self.sr)
+            window_size = int(self.mel_params.get("win_length") or self.mel_params.get("n_fft", hop_length))
+            pad_duration = max(window_size, hop_length) / float(self.sr)
+            requested_duration = base_duration + pad_duration
+            segment_frames = int(np.ceil(requested_duration * float(source_sr)))
+            if segment_frames <= 0:
+                segment_frames = None
+            elif segment_frames < total_frames:
+                max_start = max(0, total_frames - segment_frames)
+                start_frame = int(self.rng.integers(0, max_start + 1)) if max_start > 0 else 0
+                use_full_file = False
+
+        waveform, wave_sr = self._load_waveform(path, start_frame, segment_frames)
+        if waveform.ndim > 1:
+            waveform = np.mean(waveform, axis=-1)
+        waveform = waveform.astype(np.float32)
+
+        if wave_sr != self.sr:
+            waveform = resample_np(waveform, wave_sr, self.sr)
+            wave_sr = self.sr
+
+        resampled_start_sample = 0
+        if not use_full_file and source_sr:
+            start_time = start_frame / float(source_sr)
+            resampled_start_sample = int(round(start_time * self.sr))
+
+        expected_frames = None
+        if not use_full_file:
+            expected_frames = int(np.ceil(len(waveform) / max(hop_length, 1))) + 2
+
+        f0 = self._load_or_compute_f0(
+            path,
+            waveform,
+            wave_sr,
+            start_sample=resampled_start_sample,
+            expected_frames=expected_frames,
+            use_cache=True,
+            write_cache=(use_full_file and not self.data_augmentation),
+        )
+
+        if self.data_augmentation:
+            random_scale = 0.5 + 0.5 * self.rng.random()
+            waveform = (random_scale * waveform).astype(np.float32)
+
+        cache_key = path if use_full_file else None
+        allow_cache = (not self.data_augmentation) and use_full_file
+        return self._build_training_example(
+            waveform, sr=wave_sr, f0=f0, cache_key=cache_key, allow_cache=allow_cache
+        )
+
+    def _mark_path_invalid(self, path: str, exc: Exception) -> None:
+        if path in self._invalid_paths:
+            return
+        self._invalid_paths.add(path)
+        message = f"[MelDataset] Skipping unreadable audio file: {path} ({exc})"
+        logger.warning(message)
+        if self.verbose:
+            print(message)
+
+    def _load_waveform(self, path: str, start_frame, num_frames):
+        try:
+            data, sr = read_audio(
+                path,
+                start=int(start_frame or 0),
+                frames=-1 if num_frames is None else int(num_frames),
+            )
+        except (FileNotFoundError, AudioDecodeError, OSError, ValueError) as exc:
+            raise RuntimeError(f"Failed to load audio file '{path}': {exc}") from exc
+        return data, sr
+
+    def _get_audio_metadata(self, path: str) -> Dict:
+        metadata = self._audio_metadata_cache.get(path)
+        if metadata is not None:
+            return metadata
+        try:
+            info = audio_info(path)
+            metadata = {
+                "frames": info.frames,
+                "sample_rate": info.samplerate,
+                "channels": info.channels,
+            }
+        except (AudioDecodeError, OSError):
+            metadata = {"frames": 0, "sample_rate": None}
+        self._audio_metadata_cache[path] = metadata
+        return metadata
+
+    # ------------------------------------------------------------------
+    # Synthetic data (reference meldataset.py:324-517)
+    def _initialise_synthetic_generators(self) -> None:
+        config = self.synthetic_config
+        ratio = float(config.get("ratio", 0.0))
+        absolute_count = config.get("absolute_count")
+        max_items = config.get("max_items")
+        min_items = config.get("min_items", 0)
+
+        if absolute_count is not None:
+            self._synthetic_count = max(0, int(absolute_count))
+        else:
+            target = int(round(self._base_length * ratio))
+            if ratio > 0 and target == 0 and self._base_length > 0:
+                target = 1
+            self._synthetic_count = max(0, target)
+        if max_items is not None:
+            self._synthetic_count = min(self._synthetic_count, int(max_items))
+        if min_items:
+            self._synthetic_count = max(self._synthetic_count, int(min_items))
+
+        pitch_shift_cfg = config.get("pitch_shift", {}) or {}
+        if pitch_shift_cfg.get("enabled", True):
+            if not self.data_list:
+                if self.verbose:
+                    print("[MelDataset] Pitch-shift augmentation disabled: no base samples available.")
+            else:
+                self._synthetic_generators.append("pitch_shift")
+        self.synthetic_pitch_shift_config = pitch_shift_cfg
+
+        world_cfg = config.get("world_vocoder", {}) or {}
+        if world_cfg.get("enabled", False):
+            try:
+                self._synthesizer = HarmonicSynthesizer(
+                    sample_rate=self.sr,
+                    hop_length=self.mel_params["hop_length"],
+                    fft_size=self.mel_params.get("n_fft", 1024),
+                    config=world_cfg,
+                    verbose=self.verbose,
+                    rng=self.rng,
+                )
+            except (RuntimeError, ValueError) as exc:
+                self._synthesizer = None
+                if self.verbose:
+                    print(f"[MelDataset] Vocoder synthetic generation disabled: {exc}")
+            else:
+                self._synthetic_generators.append("world_vocoder")
+
+        if not self._synthetic_generators or self._synthetic_count <= 0:
+            self.synthetic_enabled = False
+            self._synthetic_generators = []
+            self._synthetic_count = 0
+            if self.verbose:
+                print("[MelDataset] Synthetic data disabled: no valid generators or count is zero.")
+
+    def _generate_synthetic_sample(self):
+        if not self._synthetic_generators:
+            raise RuntimeError("Synthetic generation requested but no generators are available")
+        generator_name = self._synthetic_generators[int(self.rng.integers(len(self._synthetic_generators)))]
+        if generator_name == "pitch_shift":
+            result = self._generate_pitch_shift_sample()
+            if result is not None:
+                return result
+            remaining = [g for g in self._synthetic_generators if g != "pitch_shift"]
+            if remaining:
+                generator_name = remaining[int(self.rng.integers(len(remaining)))]
+            else:
+                result = self._generate_pitch_shift_sample(force=True)
+                if result is not None:
+                    return result
+                raise RuntimeError("Unable to produce synthetic pitch-shift sample")
+
+        if generator_name == "world_vocoder" and self._synthesizer is not None:
+            waveform, f0 = self._synthesizer.generate()
+            return self._build_training_example(
+                waveform.astype(np.float32),
+                sr=self.sr,
+                f0=f0.astype(np.float32),
+                cache_key=None,
+                allow_cache=False,
+            )
+
+        if generator_name != "pitch_shift":
+            raise RuntimeError(f"Unknown synthetic generator '{generator_name}'")
+        result = self._generate_pitch_shift_sample(force=True)
+        if result is None:
+            raise RuntimeError("Failed to generate synthetic sample")
+        return result
+
+    def _generate_pitch_shift_sample(self, force: bool = False):
+        cfg = self.synthetic_pitch_shift_config or {}
+        semitone_choices = cfg.get("semitones") or [-4, -2, -1, 1, 2, 4]
+        if not semitone_choices:
+            return None
+        max_attempts = max(1, int(cfg.get("max_attempts", 5)))
+        min_voiced_fraction = float(cfg.get("min_voiced_fraction", 0.05))
+        gain_db_range = cfg.get("gain_db_range", [-6.0, 3.0])
+        if isinstance(gain_db_range, (int, float)):
+            gain_db_range = (float(gain_db_range), float(gain_db_range))
+        elif gain_db_range is not None:
+            gain_db_range = tuple(float(v) for v in gain_db_range)
+        noise_db = cfg.get("noise_db", None)
+        if noise_db is not None:
+            noise_db = float(noise_db)
+        keep_original_when_zero = bool(cfg.get("keep_zero_pitch", True))
+
+        for attempt in range(max_attempts):
+            available = [p for p in self.data_list if p not in self._invalid_paths]
+            if not available:
+                if force and attempt == max_attempts - 1:
+                    raise RuntimeError("No valid audio files available for pitch shifting")
+                return None
+            base_path = available[int(self.rng.integers(len(available)))]
+            try:
+                waveform, wave_sr = self._load_waveform(base_path, None, None)
+            except RuntimeError as exc:
+                self._mark_path_invalid(base_path, exc)
+                continue
+            if waveform.ndim > 1:
+                waveform = np.mean(waveform, axis=-1)
+            waveform = waveform.astype(np.float32)
+            if wave_sr != self.sr:
+                waveform = resample_np(waveform, wave_sr, self.sr)
+            base_f0 = self._load_or_compute_f0(base_path, waveform, self.sr)
+            if base_f0.size == 0:
+                if force and attempt == max_attempts - 1:
+                    break
+                continue
+            voiced_fraction = float(np.count_nonzero(base_f0 > 0)) / max(1, base_f0.size)
+            if voiced_fraction < min_voiced_fraction:
+                if force and attempt == max_attempts - 1:
+                    break
+                continue
+
+            semitone = semitone_choices[int(self.rng.integers(len(semitone_choices)))]
+            if semitone == 0 and not force:
+                continue
+            try:
+                shifted_waveform = pitch_shift(waveform, self.sr, float(semitone))
+            except Exception:
+                if force and attempt == max_attempts - 1:
+                    raise
+                continue
+
+            ratio = float(2 ** (semitone / 12.0))
+            shifted_f0 = base_f0.astype(np.float32) * ratio
+            if keep_original_when_zero:
+                shifted_f0[base_f0 == 0] = 0.0
+            if gain_db_range is not None:
+                low, high = gain_db_range
+                if low > high:
+                    low, high = high, low
+                gain = 10.0 ** (self.rng.uniform(low, high) / 20.0)
+                shifted_waveform = shifted_waveform * gain
+            if noise_db is not None:
+                noise_gain = 10.0 ** (noise_db / 20.0)
+                noise = self.rng.normal(scale=noise_gain, size=shifted_waveform.shape)
+                shifted_waveform = shifted_waveform + noise.astype(np.float32)
+            return self._build_training_example(
+                shifted_waveform.astype(np.float32),
+                sr=self.sr,
+                f0=shifted_f0,
+                cache_key=None,
+                allow_cache=False,
+            )
+        return None
+
+    # ------------------------------------------------------------------
+    # F0 cache (reference meldataset.py:519-619)
+    def _f0_cache_paths(self, path: str):
+        return path + self.f0_cache_suffix, path + self.f0_meta_suffix, path + "_f0.npy"
+
+    def _load_or_compute_f0(
+        self,
+        path: str,
+        waveform: np.ndarray,
+        sr: int,
+        *,
+        start_sample: int = 0,
+        expected_frames: Optional[int] = None,
+        use_cache: bool = True,
+        write_cache: bool = True,
+    ) -> np.ndarray:
+        if use_cache:
+            cached_f0 = self._load_cached_f0(path)
+            if cached_f0 is not None:
+                if expected_frames is None:
+                    return cached_f0
+                hop = max(int(self.mel_params["hop_length"]), 1)
+                start_index = max(0, int(math.floor(start_sample / float(hop))))
+                if start_index >= cached_f0.shape[0]:
+                    return np.zeros((0,), dtype=np.float32)
+                end_index = min(cached_f0.shape[0], start_index + int(expected_frames) + 4)
+                return cached_f0[start_index:end_index]
+
+        if self.verbose:
+            active = self.f0_extractor.describe_backends()
+            print(
+                f"[MelDataset] Computing F0 for {path} using backends: "
+                f"{', '.join(active) if active else 'none'}"
+            )
+        try:
+            result = self.f0_extractor.compute(waveform, sr=sr)
+            f0 = np.asarray(result.f0, dtype=np.float32)
+            backend_name = result.backend_name
+            if self.verbose and backend_name:
+                print(f"[MelDataset] Selected F0 backend '{backend_name}' for {path}")
+        except BackendComputationError as exc:
+            logger.warning("All configured F0 backends failed for %s: %s", path, exc)
+            f0 = np.zeros((0,), dtype=np.float32)
+            backend_name = ""
+            if self.verbose:
+                print(f"[MelDataset] F0 computation failed for {path}; using zeros")
+
+        cache_entire = (
+            use_cache
+            and write_cache
+            and self._cache_enabled
+            and not self.data_augmentation
+            and expected_frames is None
+            and start_sample == 0
+        )
+        if cache_entire:
+            self._save_f0_cache(path, f0, backend_name)
+        return f0
+
+    def _load_cached_f0(self, path: str):
+        if not self._cache_enabled:
+            return None
+        data_path, meta_path, legacy_path = self._f0_cache_paths(path)
+        if os.path.isfile(data_path):
+            metadata = None
+            if os.path.isfile(meta_path):
+                try:
+                    with open(meta_path, "r", encoding="utf-8") as meta_file:
+                        metadata = json.load(meta_file)
+                except (OSError, json.JSONDecodeError):
+                    self._remove_file_safely(meta_path)
+                    metadata = None
+            if metadata:
+                expected = {
+                    "cache_identifier": self.f0_extractor.cache_identifier,
+                    "sample_rate": int(self.sr),
+                    "hop_length": int(self.mel_params["hop_length"]),
+                }
+                if all(metadata.get(key) == value for key, value in expected.items()):
+                    try:
+                        return np.load(data_path).astype(np.float32)
+                    except (OSError, ValueError):
+                        self._remove_file_safely(data_path)
+                else:
+                    self._remove_file_safely(data_path)
+                    self._remove_file_safely(meta_path)
+            else:
+                self._remove_file_safely(data_path)
+        if os.path.isfile(legacy_path):
+            try:
+                return np.load(legacy_path).astype(np.float32)
+            except (OSError, ValueError):
+                self._remove_file_safely(legacy_path)
+        return None
+
+    def _save_f0_cache(self, path: str, f0: np.ndarray, backend_name: str) -> None:
+        data_path, meta_path, _ = self._f0_cache_paths(path)
+        try:
+            np.save(data_path, np.asarray(f0, dtype=np.float32))
+            metadata = {
+                "cache_identifier": self.f0_extractor.cache_identifier,
+                "backend": backend_name,
+                "sample_rate": int(self.sr),
+                "hop_length": int(self.mel_params["hop_length"]),
+            }
+            with open(meta_path, "w", encoding="utf-8") as meta_file:
+                json.dump(metadata, meta_file, sort_keys=True)
+        except OSError as exc:
+            logger.warning("Failed to cache F0 for %s: %s", path, exc)
+
+    # ------------------------------------------------------------------
+    # training example (reference meldataset.py:629-677)
+    def _build_training_example(self, waveform, sr, f0, cache_key=None, allow_cache=True):
+        if waveform.ndim > 1:
+            waveform = np.mean(waveform, axis=-1)
+        waveform = waveform.astype(np.float32)
+        if sr != self.sr:
+            waveform = resample_np(waveform, sr, self.sr)
+            sr = self.sr
+
+        expected_metadata = None
+        mel = None
+        if cache_key is not None and allow_cache:
+            expected_metadata = self._build_mel_metadata(waveform, sr)
+            mel = self._load_cached_mel(cache_key, expected_metadata)
+        if mel is None:
+            mel = self.to_melspec(waveform)
+            if cache_key is not None and allow_cache and self._cache_enabled:
+                if expected_metadata is None:
+                    expected_metadata = self._build_mel_metadata(waveform, sr)
+                self._save_mel_cache(cache_key, mel, expected_metadata)
+
+        mel = ((np.log(MEL_LOG_OFFSET + mel.astype(np.float64)) - self.mean) / self.std).astype(np.float32)
+        mel_length = mel.shape[1]
+
+        if f0 is None:
+            f0 = np.zeros((mel_length,), dtype=np.float32)
+        else:
+            f0 = self.f0_extractor.align_length(f0, mel_length)
+
+        is_silence = np.zeros_like(f0, dtype=np.float32)
+        is_silence[f0 == 0] = 1.0
+
+        if mel_length > self.max_mel_length:
+            random_start = int(self.rng.integers(0, mel_length - self.max_mel_length))
+            mel = mel[:, random_start : random_start + self.max_mel_length]
+            f0 = f0[random_start : random_start + self.max_mel_length]
+            is_silence = is_silence[random_start : random_start + self.max_mel_length]
+
+        nan_mask = np.isnan(f0)
+        if nan_mask.any():
+            f0 = f0.copy()
+            f0[nan_mask] = self.zero_value
+
+        return mel, f0.astype(np.float32), is_silence
+
+    # ------------------------------------------------------------------
+    # mel cache (reference meldataset.py:679-788)
+    def _build_mel_metadata(self, waveform: np.ndarray, wave_sr: int) -> Dict:
+        num_samples = int(waveform.shape[0]) if waveform.ndim > 0 else int(waveform.size)
+        num_channels = int(waveform.shape[1]) if waveform.ndim > 1 else 1
+
+        def _serialize(value):
+            if isinstance(value, np.ndarray):
+                return value.tolist()
+            if isinstance(value, np.generic):
+                return value.item()
+            return value
+
+        serialized_params = {k: _serialize(v) for k, v in self.mel_params.items()}
+        return {
+            "audio_sample_rate": int(wave_sr),
+            "audio_num_samples": num_samples,
+            "audio_num_channels": num_channels,
+            "dataset_sample_rate": int(self.sr),
+            "mel_params": serialized_params,
+        }
+
+    def _mel_cache_paths(self, path: str):
+        return path + self._mel_cache_suffix, path + self._mel_meta_suffix
+
+    def _load_cached_mel(self, path: str, expected_metadata: Dict):
+        if not self._cache_enabled or self.data_augmentation:
+            return None
+        mel_cache_path, meta_cache_path = self._mel_cache_paths(path)
+        if not os.path.isfile(mel_cache_path):
+            if os.path.isfile(meta_cache_path) and not self._mel_cache_invalidated:
+                self._invalidate_mel_cache(meta_cache_path, reason="metadata_without_mel")
+            return None
+        if not os.path.isfile(meta_cache_path):
+            self._invalidate_mel_cache(meta_cache_path, reason="missing_metadata")
+            return None
+        try:
+            with open(meta_cache_path, "r", encoding="utf-8") as meta_file:
+                cached_metadata = json.load(meta_file)
+        except (OSError, json.JSONDecodeError):
+            self._invalidate_mel_cache(meta_cache_path, reason="unreadable_metadata")
+            return None
+        if cached_metadata != expected_metadata:
+            self._invalidate_mel_cache(meta_cache_path, reason="metadata_mismatch")
+            return None
+        try:
+            return np.load(mel_cache_path)
+        except (OSError, ValueError):
+            self._invalidate_mel_cache(mel_cache_path, reason="unreadable_cache")
+            return None
+
+    def _invalidate_mel_cache(self, reference_path: str, reason: str = "unknown") -> None:
+        """One-shot global cache purge (reference meldataset.py:743-767)."""
+        if self._mel_cache_invalidated:
+            self._remove_file_safely(reference_path)
+            return
+        self._mel_cache_invalidated = True
+        if self.verbose:
+            print(
+                f"[MelDataset] Mel cache invalidation triggered ({reason}). "
+                "Clearing cached spectrograms..."
+            )
+        logger.info("Mel cache invalidation triggered (%s). Clearing cached spectrograms.", reason)
+        for audio_path in self.data_list:
+            mel_cache_path, meta_cache_path = self._mel_cache_paths(audio_path)
+            f0_cache_path, f0_meta_path, legacy_path = self._f0_cache_paths(audio_path)
+            for p in (mel_cache_path, meta_cache_path, f0_cache_path, f0_meta_path, legacy_path):
+                self._remove_file_safely(p)
+            for extra_path in glob.glob(audio_path + "_f0*.npy"):
+                if extra_path not in {f0_cache_path, legacy_path}:
+                    self._remove_file_safely(extra_path)
+            for extra_meta in glob.glob(audio_path + "_f0*.json"):
+                if extra_meta != f0_meta_path:
+                    self._remove_file_safely(extra_meta)
+
+    @staticmethod
+    def _remove_file_safely(path: str) -> None:
+        if not path:
+            return
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+        except OSError as exc:
+            logger.warning("Failed to remove cache file %s: %s", path, exc)
+
+    def _save_mel_cache(self, path: str, mel: np.ndarray, metadata: Dict) -> None:
+        mel_cache_path, meta_cache_path = self._mel_cache_paths(path)
+        try:
+            np.save(mel_cache_path, np.asarray(mel, dtype=np.float32))
+            with open(meta_cache_path, "w", encoding="utf-8") as meta_file:
+                json.dump(metadata, meta_file, sort_keys=True)
+        except OSError as exc:
+            logger.warning("Failed to save mel cache for %s: %s", path, exc)

@@ -1,0 +1,226 @@
+"""Synthetic speech generation with exact analytic F0 ground truth.
+
+The reference synthesises vowel-like utterances through the WORLD vocoder
+(Utils/synthetic.py:71-220): Gaussian formant envelopes, piecewise-linear
+random F0 segments with probabilistic vibrato, zero aperiodicity.  WORLD is a
+native C++ dependency; since the contour is *specified up-front*, the
+idiomatic replacement (SURVEY.md §7 hard-part #7) is a harmonic additive
+synthesizer — a band-limited pulse train shaped by the same formant
+envelopes — which produces the exact F0 by construction with no native dep.
+
+Config schema matches the reference ``synthetic_data.world_vocoder`` section
+(Configs/config.yml:169-180): duration.{min,max}, pitch_range, gain_db_range,
+noise_db, modulation.{vibrato_probability, vibrato_semitones,
+vibrato_rate_range}, vowel_profiles.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_VOWELS: Tuple[Dict, ...] = (
+    {
+        "label": "ah",
+        "formants": ((730.0, 90.0, 1.0), (1090.0, 110.0, 0.6), (2440.0, 150.0, 0.4)),
+    },
+    {
+        "label": "ih",
+        "formants": ((390.0, 80.0, 1.0), (1990.0, 120.0, 0.6), (2550.0, 160.0, 0.4)),
+    },
+    {
+        "label": "uh",
+        "formants": ((440.0, 70.0, 1.0), (1020.0, 90.0, 0.6), (2240.0, 150.0, 0.4)),
+    },
+)
+
+
+def _db_to_amplitude(db_value: float) -> float:
+    return float(10.0 ** (db_value / 20.0))
+
+
+@dataclass
+class ModulationConfig:
+    vibrato_probability: float = 0.6
+    vibrato_semitones: float = 0.35
+    vibrato_rate_range: Tuple[float, float] = (4.0, 7.0)
+    max_segments: int = 4
+
+
+class HarmonicSynthesizer:
+    """Generate vowel-like waveforms with known F0 (WORLD-synthesis stand-in).
+
+    Public contract mirrors the reference ``WorldSynthesizer``
+    (Utils/synthetic.py:74-220): ``generate() -> (waveform float32 samples,
+    f0 float32 per hop-frame)``.
+    """
+
+    def __init__(
+        self,
+        sample_rate: int,
+        hop_length: int,
+        fft_size: Optional[int] = None,
+        config: Optional[Dict] = None,
+        verbose: bool = False,
+        rng: Optional[np.random.Generator] = None,
+    ) -> None:
+        self.sample_rate = int(sample_rate)
+        self.hop_length = int(hop_length)
+        self.fft_size = int(fft_size or 1024)
+        self.verbose = verbose
+        self.rng = rng or np.random.default_rng()
+
+        cfg = dict(config or {})
+        duration_cfg = cfg.get("duration", {}) or {}
+        self.min_duration = float(duration_cfg.get("min", 0.5))
+        self.max_duration = float(duration_cfg.get("max", 1.8))
+        if self.max_duration <= 0:
+            raise ValueError("Synthetic duration must be positive")
+
+        pitch_range = cfg.get("pitch_range", [110.0, 320.0])
+        if len(pitch_range) != 2:
+            raise ValueError("pitch_range must contain two values")
+        self.pitch_min = float(min(pitch_range))
+        self.pitch_max = float(max(pitch_range))
+
+        noise_db_cfg = cfg.get("noise_db", -60.0)
+        self.noise_db = None if noise_db_cfg is None else float(noise_db_cfg)
+        gain_cfg = cfg.get("gain_db_range", [-18.0, -6.0])
+        if isinstance(gain_cfg, (int, float)):
+            gain_cfg = [gain_cfg, gain_cfg]
+        if len(gain_cfg) != 2:
+            raise ValueError("gain_db_range must provide two values")
+        gain_min, gain_max = float(gain_cfg[0]), float(gain_cfg[1])
+        if gain_min > gain_max:
+            gain_min, gain_max = gain_max, gain_min
+        self.gain_db_range = (gain_min, gain_max)
+        self.modulation = ModulationConfig(**(cfg.get("modulation", {}) or {}))
+
+        vowel_profiles = cfg.get("vowel_profiles") or DEFAULT_VOWELS
+        self._templates = self._build_formant_templates(vowel_profiles)
+        self.frame_period = 1000.0 * self.hop_length / self.sample_rate
+
+    # ------------------------------------------------------------------
+    def _build_formant_templates(self, profiles: Sequence[Dict]) -> List[np.ndarray]:
+        """Gaussian-bump spectral envelopes on the FFT frequency axis
+        (reference Utils/synthetic.py:122-147)."""
+        freq_axis = np.linspace(0, self.sample_rate / 2, self.fft_size // 2 + 1)
+        templates: List[np.ndarray] = []
+        for profile in profiles:
+            formants = profile.get("formants", [])
+            if not formants:
+                continue
+            envelope = np.zeros_like(freq_axis)
+            for formant in formants:
+                if len(formant) < 2:
+                    continue
+                freq = float(formant[0])
+                bandwidth = float(formant[1])
+                amplitude = float(formant[2]) if len(formant) > 2 else 1.0
+                if bandwidth <= 0:
+                    bandwidth = 60.0
+                envelope += amplitude * np.exp(
+                    -0.5 * ((freq_axis - freq) / (bandwidth / 2.0)) ** 2
+                )
+            envelope = np.maximum(envelope, 1e-3)
+            templates.append(envelope.astype(np.float64))
+        if not templates:
+            raise ValueError("No valid vowel templates provided for synthesis")
+        return templates
+
+    # ------------------------------------------------------------------
+    def _sample_duration(self) -> float:
+        if self.max_duration <= self.min_duration:
+            return max(self.max_duration, 0.1)
+        return float(self.rng.uniform(self.min_duration, self.max_duration))
+
+    def _sample_f0_curve(self, num_frames: int) -> np.ndarray:
+        """Piecewise-linear segments + probabilistic vibrato
+        (reference Utils/synthetic.py:155-191)."""
+        base = float(self.rng.uniform(self.pitch_min, self.pitch_max))
+        curve = np.full(num_frames, base, dtype=np.float64)
+
+        max_segments = max(1, int(self.modulation.max_segments))
+        num_segments = int(self.rng.integers(1, max_segments + 1))
+        if num_segments > 1 and num_frames > 2:
+            available = max(1, num_frames - 1)
+            k = min(num_segments - 1, available - 1)
+            if k > 0:
+                positions = sorted(
+                    self.rng.choice(np.arange(1, available), size=k, replace=False).tolist()
+                )
+            else:
+                positions = []
+            positions = [0] + positions + [num_frames - 1]
+            segment_values = [
+                float(self.rng.uniform(self.pitch_min, self.pitch_max))
+                for _ in range(len(positions))
+            ]
+            for idx in range(len(positions) - 1):
+                start, end = positions[idx], positions[idx + 1]
+                if end <= start:
+                    continue
+                interp = np.linspace(segment_values[idx], segment_values[idx + 1], end - start + 1)
+                curve[start : end + 1] = interp
+
+        if self.rng.random() < self.modulation.vibrato_probability:
+            depth = max(float(self.modulation.vibrato_semitones), 0.0)
+            if depth > 0:
+                rate = float(self.rng.uniform(*self.modulation.vibrato_rate_range))
+                t = np.arange(num_frames, dtype=np.float64) * (self.frame_period / 1000.0)
+                vibrato = np.sin(2.0 * math.pi * rate * t)
+                curve *= 2.0 ** (vibrato * (depth / 12.0))
+        return curve
+
+    # ------------------------------------------------------------------
+    def _synthesize(self, f0_frames: np.ndarray, envelope: np.ndarray) -> np.ndarray:
+        """Band-limited harmonic synthesis following the frame F0 curve."""
+        num_frames = f0_frames.shape[0]
+        n_samples = num_frames * self.hop_length
+        # sample-rate F0 curve via linear interpolation between frame centres
+        frame_pos = np.arange(num_frames) * self.hop_length
+        sample_pos = np.arange(n_samples)
+        f0_s = np.interp(sample_pos, frame_pos, f0_frames)
+
+        phase = np.cumsum(2.0 * np.pi * f0_s / self.sample_rate)
+        nyquist = self.sample_rate / 2.0
+        min_f0 = max(float(np.min(f0_frames)), 1.0)
+        n_harmonics = min(int(nyquist / min_f0), 80)
+
+        freq_axis = np.linspace(0, nyquist, self.fft_size // 2 + 1)
+        out = np.zeros(n_samples, dtype=np.float64)
+        for k in range(1, n_harmonics + 1):
+            hk = k * f0_s
+            mask = hk < nyquist
+            if not mask.any():
+                break
+            amp = np.interp(hk, freq_axis, envelope)
+            out += np.where(mask, amp, 0.0) * np.sin(k * phase)
+        peak = np.max(np.abs(out))
+        if peak > 0:
+            out = out / peak
+        return out
+
+    def generate(self) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (waveform float32, exact per-frame F0 float32)
+        (reference Utils/synthetic.py:194-220)."""
+        duration = self._sample_duration()
+        num_frames = max(2, int(np.ceil((duration * 1000.0) / self.frame_period)))
+        template = self._templates[int(self.rng.integers(len(self._templates)))]
+        f0_curve = self._sample_f0_curve(num_frames)
+        waveform = self._synthesize(f0_curve, template)
+
+        gain = _db_to_amplitude(float(self.rng.uniform(*self.gain_db_range)))
+        waveform = waveform * gain
+        if self.noise_db is not None:
+            noise_gain = _db_to_amplitude(self.noise_db)
+            if noise_gain > 0:
+                waveform = waveform + self.rng.normal(scale=noise_gain, size=waveform.shape)
+        return waveform.astype(np.float32), f0_curve.astype(np.float32)
+
+
+# Back-compat alias mirroring the reference class name.
+WorldSynthesizer = HarmonicSynthesizer

@@ -1,0 +1,152 @@
+"""JDCNet — Joint Detection and Classification network (Kum et al. 2019).
+
+TPU-first re-design of the reference model (model.py:13-175):
+
+- NHWC layout ``(B, T, F, C)`` (XLA:TPU's native conv layout) instead of the
+  reference's NCHW; the time axis stays fully dynamic-free (static 192-frame
+  crops in training, 192-frame chunks at inference).
+- BatchNorm reduces over the *global* batch: under pjit with a batch-sharded
+  input the mean/var are computed over the logical array, so data-parallel
+  training sees cross-replica statistics by construction (SURVEY.md §7
+  hard-part #5 — we pick global BN and document it here).
+- The detector's ``.sum(axis=-1)`` collapse of its 2 logits into a single
+  voicing logit is preserved verbatim for loss parity (reference
+  model.py:117; SURVEY.md "preserve" quirk list).
+
+Shape trace for the reference mel config (T frames, 80 mels):
+  input (B, T, 80, 1)
+  conv_block   -> (B, T, 80, 64)
+  res_block1   -> (B, T, 40, 128)
+  res_block2   -> (B, T, 20, 192)
+  res_block3   -> (B, T, 10, 256)
+  pool_block   -> (B, T, 2, 256)
+  classifier: reshape (B, T, 512) -> SequenceModel -> Dense(num_class)
+  detector:  maxpool skip concat (B, T, 2, 640) -> 1x1 conv (B, T, 2, 256)
+             -> reshape (B, T, 512) -> SequenceModel -> Dense(2) -> sum(-1)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+import flax.linen as nn
+
+from .init import kaiming_uniform, xavier_normal, zeros
+from .sequence import sequence_model_from_config
+
+
+def _leaky_relu(x, slope):
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+class ConvBlock(nn.Module):
+    """Input conv block (reference model.py:23-28)."""
+
+    leaky_relu_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = _leaky_relu(x, self.leaky_relu_slope)
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv2")(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block with frequency-only max-pool
+    (reference model.py:143-175)."""
+
+    out_channels: int
+    leaky_relu_slope: float = 0.01
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_channels = x.shape[-1]
+        downsample = in_channels != self.out_channels
+
+        # BN / LReLU / MaxPool(1,2) on the frequency axis
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pre_bn")(x)
+        x = _leaky_relu(x, self.leaky_relu_slope)
+        x = nn.max_pool(x, window_shape=(1, 2), strides=(1, 2))
+
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(h)
+        h = _leaky_relu(h, self.leaky_relu_slope)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv2")(h)
+
+        if downsample:
+            shortcut = nn.Conv(
+                self.out_channels, (1, 1), use_bias=False, kernel_init=xavier_normal, name="conv1by1"
+            )(x)
+        else:
+            shortcut = x
+        return h + shortcut
+
+
+class JDCNet(nn.Module):
+    """Joint Detection and Classification Network (reference model.py:13-122).
+
+    ``num_class == 1`` means direct F0 regression in Hz (the training default,
+    reference train.py:89); larger values give per-frame pitch-class logits.
+    """
+
+    num_class: int = 1
+    leaky_relu_slope: float = 0.01
+    sequence_model_config: Optional[Dict[str, Any]] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (B, T, n_mels, 1) NHWC -> ((B, T, num_class), (B, T))."""
+        slope = self.leaky_relu_slope
+        seq_cfg = dict(self.sequence_model_config or {})
+        seq_len = x.shape[1]
+        B = x.shape[0]
+
+        convblock_out = ConvBlock(slope, name="conv_block")(x, train=train)
+
+        res1 = ResBlock(128, slope, name="res_block1")(convblock_out, train=train)
+        res2 = ResBlock(192, slope, name="res_block2")(res1, train=train)
+        res3 = ResBlock(256, slope, name="res_block3")(res2, train=train)
+
+        # pool block: BN + LReLU + MaxPool(1,4) + Dropout(0.5)
+        pool = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pool_bn")(res3)
+        pool = _leaky_relu(pool, slope)
+        pool = nn.max_pool(pool, window_shape=(1, 4), strides=(1, 4))
+        pool = nn.Dropout(0.5, deterministic=not train, name="pool_dropout")(pool)
+        # (B, T, 2, 256)
+
+        # ---------------- classifier path ----------------
+        classifier_in = pool.reshape((B, seq_len, -1))  # (B, T, 512)
+        classifier_out = sequence_model_from_config(seq_cfg, name="sequence_classifier")(
+            classifier_in, train=train
+        )
+        f0_pred = nn.Dense(
+            self.num_class, kernel_init=kaiming_uniform, bias_init=zeros, name="classifier"
+        )(classifier_out)  # (B, T, num_class)
+
+        # ---------------- detector path ----------------
+        # auxiliary maxpools collapse frequency to 2 for the skip concat
+        mp1 = nn.max_pool(convblock_out, window_shape=(1, 40), strides=(1, 40))
+        mp2 = nn.max_pool(res1, window_shape=(1, 20), strides=(1, 20))
+        mp3 = nn.max_pool(res2, window_shape=(1, 10), strides=(1, 10))
+        concat = jnp.concatenate([mp1, mp2, mp3, pool], axis=-1)  # (B, T, 2, 640)
+
+        det = nn.Conv(256, (1, 1), use_bias=False, kernel_init=xavier_normal, name="detector_conv")(concat)
+        det = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="detector_bn")(det)
+        det = _leaky_relu(det, slope)
+        det = nn.Dropout(0.5, deterministic=not train, name="detector_dropout")(det)
+
+        detector_in = det.reshape((B, seq_len, -1))  # (B, T, 512)
+        detector_out = sequence_model_from_config(seq_cfg, name="sequence_detector")(
+            detector_in, train=train
+        )
+        detector_logits = nn.Dense(
+            2, kernel_init=kaiming_uniform, bias_init=zeros, name="detector"
+        )(detector_out)  # (B, T, 2)
+        # single-logit collapse preserved for loss parity (model.py:117)
+        voicing_logit = detector_logits.sum(axis=-1)  # (B, T)
+
+        return f0_pred, voicing_logit
