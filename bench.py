@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput (primary) + F0 labeling throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Runs on whatever JAX platform the environment provides (the real TPU chip
+under the driver).  The primary metric is end-to-end training-step throughput
+on the flagship config (JDCNet + 4-layer BiLSTM head, batch 64, 192 frames,
+bf16 matmuls) in utterances/sec/chip.  Details (labeler throughput, step
+times) go to ``bench_details.json``.
+
+``vs_baseline`` compares against ``bench_baseline.json`` (committed after the
+first on-hardware measurement; the reference publishes no numbers —
+BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _bench_train_step(batch_size=64, T=192, steps=20, warmup=3):
+    import jax
+
+    from pitchextractor_tpu.models import JDCNet
+    from pitchextractor_tpu.parallel import make_mesh
+    from pitchextractor_tpu.train import Trainer, build_optimizer
+
+    model = JDCNet(
+        num_class=1,
+        sequence_model_config={"model_type": "bilstm", "num_layers": 4, "dropout": 0.1},
+    )
+    tx, schedule = build_optimizer(
+        {
+            "params": None,
+            "optimizer_params": {"lr": 3e-4},
+            "scheduler_params": {"max_lr": 3e-4, "epochs": 100, "steps_per_epoch": 100},
+        }
+    )
+    mesh = make_mesh(model_parallel=1)
+    trainer = Trainer(
+        model=model,
+        optimizer=tx,
+        scheduler=schedule,
+        loss_config={"lambda_f0": 0.1},
+        use_mixed_precision=True,
+        mesh=mesh,
+        n_mels=80,
+        max_mel_length=T,
+    )
+    rng = np.random.default_rng(0)
+    mels = rng.standard_normal((batch_size, 1, 80, T)).astype(np.float32)
+    f0 = np.abs(rng.standard_normal((batch_size, T))).astype(np.float32) * 200
+    sil = (f0 < 100).astype(np.float32)
+    batch = (mels, f0, sil)
+
+    for _ in range(warmup):
+        trainer.run(batch)
+    jax.block_until_ready(trainer.state.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        trainer.run(batch)
+    jax.block_until_ready(trainer.state.params)
+    elapsed = time.perf_counter() - t0
+    n_chips = len(jax.devices())
+    utt_per_sec = batch_size * steps / elapsed
+    return {
+        "train_utt_per_sec": utt_per_sec,
+        "train_utt_per_sec_per_chip": utt_per_sec / n_chips,
+        "train_step_ms": 1000.0 * elapsed / steps,
+        "n_chips": n_chips,
+        "batch_size": batch_size,
+        "frames": T,
+    }
+
+
+def _bench_labeler(batch_size=64, seconds=2.4, steps=10, warmup=2):
+    import jax
+    import jax.numpy as jnp
+
+    from pitchextractor_tpu.labels.trackers import TrackerParams, track_pitch_batch
+
+    sr, hop = 24000, 300
+    rng = np.random.default_rng(0)
+    t = np.arange(int(sr * seconds)) / sr
+    freqs = rng.uniform(100, 400, size=(batch_size, 1))
+    audio = np.sin(2 * np.pi * freqs * t[None, :]).astype(np.float32)
+    audio += 0.01 * rng.standard_normal(audio.shape).astype(np.float32)
+    batch = jnp.asarray(audio)
+    params = TrackerParams()
+
+    out = track_pitch_batch(batch, sr, hop, params)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        jax.block_until_ready(track_pitch_batch(batch, sr, hop, params))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        jax.block_until_ready(track_pitch_batch(batch, sr, hop, params))
+    elapsed = time.perf_counter() - t0
+    total_audio_seconds = batch_size * seconds * steps
+    return {
+        "label_utts_per_sec": batch_size * steps / elapsed,
+        "label_audio_seconds_per_sec": total_audio_seconds / elapsed,
+    }
+
+
+def main():
+    details = {}
+    try:
+        details.update(_bench_train_step())
+    except Exception as exc:  # keep the contract: always print one line
+        details["train_error"] = repr(exc)
+    try:
+        details.update(_bench_labeler())
+    except Exception as exc:
+        details["label_error"] = repr(exc)
+
+    value = details.get("train_utt_per_sec_per_chip", 0.0)
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    vs_baseline = 1.0
+    if os.path.isfile(baseline_path):
+        try:
+            baseline = json.load(open(baseline_path)).get("train_utt_per_sec_per_chip")
+            if baseline:
+                vs_baseline = value / float(baseline)
+        except (OSError, json.JSONDecodeError, ValueError):
+            pass
+
+    with open("bench_details.json", "w") as fh:
+        json.dump(details, fh, indent=2, sort_keys=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_utterances_per_sec_per_chip",
+                "value": round(float(value), 3),
+                "unit": "utt/s/chip (B=64, T=192, bf16)",
+                "vs_baseline": round(float(vs_baseline), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

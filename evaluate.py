@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Robustness evaluation runner — the scripted replacement for the
+reference's six Utils/*.ipynb notebooks.
+
+Usage:
+  python evaluate.py --checkpoint Checkpoint/epoch_00100.ckpt \
+      --suites dynamic_pitch,noise --output_dir notebooks/artifacts
+
+Without --checkpoint, the newest checkpoint under --checkpoint_dir is used
+(the notebooks' auto-discovery behaviour).
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import click
+
+
+@click.command()
+@click.option("--checkpoint", default=None, type=str)
+@click.option("--checkpoint_dir", default="Checkpoint", type=str)
+@click.option("--config_path", default="./Configs/config.yml", type=str)
+@click.option("--suites", default="all", type=str, help="comma-separated suite names or 'all'")
+@click.option("--output_dir", default="notebooks/artifacts", type=str)
+def main(checkpoint, checkpoint_dir, config_path, suites, output_dir):
+    from pitchextractor_tpu import config as config_lib
+    from pitchextractor_tpu.eval.suites import SUITES, run_all
+    from pitchextractor_tpu.infer import F0Predictor, latest_checkpoint, load_model
+
+    config = {}
+    if os.path.isfile(config_path):
+        config = config_lib.resolve(config_lib.load_config(config_path))
+
+    if checkpoint is None:
+        checkpoint = latest_checkpoint(checkpoint_dir)
+        if checkpoint is None:
+            raise SystemExit(f"No checkpoint found under {checkpoint_dir}")
+    model, variables = load_model(checkpoint, config)
+    mel_params = (config.get("dataset_params", {}) or {}).get("mel_params")
+    predictor = F0Predictor(model, variables, mel_params=mel_params)
+
+    selected = None if suites == "all" else [s.strip() for s in suites.split(",") if s.strip()]
+    if selected:
+        unknown = set(selected) - set(SUITES)
+        if unknown:
+            raise SystemExit(f"Unknown suites: {sorted(unknown)}; available: {sorted(SUITES)}")
+    results = run_all(predictor, output_dir, suites=selected)
+    summary = {
+        name: {
+            "rows": len(rows),
+            "mean_RPA": float(
+                sum(r.get("RPA", 0) or 0 for r in rows if isinstance(r.get("RPA"), float))
+                / max(sum(1 for r in rows if isinstance(r.get("RPA"), float)), 1)
+            ),
+        }
+        for name, rows in results.items()
+    }
+    print(json.dumps(summary, indent=2, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Training CLI (reference train.py:45-153).
+
+Usage: ``python train.py --config_path ./Configs/config.yml`` — the same
+shell contract as the reference (README.md:28-30 there).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+
+import click
+import numpy as np
+
+from . import config as config_lib
+from .models import JDCNet
+from .data import build_dataloader
+from .train.optim import build_optimizer
+from .train.trainer import Trainer
+from .utils.logging import setup_logging
+from .utils.summary import SummaryWriter
+
+
+@click.command()
+@click.option("-p", "--config_path", default="./Configs/config.yml", type=str)
+@click.option("--max_steps", default=None, type=int, help="debug: stop after N epochs' worth of steps")
+def main(config_path, max_steps):
+    run(config_path, max_steps=max_steps)
+
+
+def run(config_path: str, max_steps=None) -> int:
+    raw = config_lib.load_config(config_path)
+    config = config_lib.resolve(raw)
+    log_dir = config["log_dir"]
+    os.makedirs(log_dir, exist_ok=True)
+    config_lib.archive_config(config_path, log_dir)
+
+    writer = SummaryWriter(osp.join(log_dir, "tensorboard"))
+    logger = setup_logging(log_dir)
+
+    batch_size = config.get("batch_size", 32)
+    epochs = config.get("epochs", 100)
+    save_freq = config.get("save_freq", 10)
+    num_workers = config.get("num_workers", 8)
+    training_config = config.get("training", {})
+
+    train_list, val_list = config_lib.get_data_path_list(
+        config.get("train_data"), config.get("val_data")
+    )
+
+    train_dataloader = build_dataloader(
+        train_list,
+        batch_size=batch_size,
+        num_workers=num_workers,
+        dataset_config=config.get("dataset_params", {}),
+    )
+    val_dataloader = build_dataloader(
+        val_list,
+        batch_size=batch_size,
+        validation=True,
+        num_workers=max(num_workers // 2, 0),
+        dataset_config=config.get("dataset_params", {}),
+    )
+
+    model_config = config.get("model_params", {})
+    model = JDCNet(
+        num_class=model_config.get("num_class", 1),  # 1 => F0 regression
+        sequence_model_config=model_config.get("sequence_model", {}),
+    )
+
+    scheduler_params = {
+        "max_lr": float(config["optimizer_params"].get("lr", 5e-4)),
+        "pct_start": float(config["optimizer_params"].get("pct_start", 0.0)),
+        "epochs": epochs,
+        "steps_per_epoch": max(len(train_dataloader), 1),
+    }
+    optimizer, schedule = build_optimizer(
+        {"params": None, "optimizer_params": config["optimizer_params"], "scheduler_params": scheduler_params}
+    )
+
+    n_mels = config["dataset_params"]["mel_params"]["n_mels"]
+    trainer = Trainer(
+        model=model,
+        optimizer=optimizer,
+        scheduler=schedule,
+        config=config,
+        loss_config=config["loss_params"],
+        train_dataloader=train_dataloader,
+        val_dataloader=val_dataloader,
+        logger_=logger,
+        use_mixed_precision=training_config.get("mixed_precision", True),
+        gradient_checkpointing=training_config.get("gradient_checkpointing", False),
+        n_mels=n_mels,
+    )
+
+    if config.get("pretrained_model", ""):
+        trainer.load_checkpoint(
+            config["pretrained_model"],
+            load_only_params=config.get("load_only_params", True),
+        )
+
+    # cache warm-up: iterate both loaders once so all F0/mel caches exist
+    # before the timed epochs (reference train.py:127-133)
+    print("Checking if all F0 data is computed...")
+    for _ in train_dataloader:
+        continue
+    for _ in val_dataloader:
+        continue
+    print("All F0 data is computed.")
+
+    for epoch in range(1, epochs + 1):
+        train_results = trainer._train_epoch()
+        eval_results = trainer._eval_epoch()
+        results = dict(train_results)
+        results.update(eval_results)
+        logger.info("--- epoch %d ---", epoch)
+        for key, value in results.items():
+            if isinstance(value, float):
+                logger.info("%-15s: %.4f", key, value)
+                writer.add_scalar(key, value, epoch)
+        if (epoch % save_freq) == 0:
+            trainer.save_checkpoint(osp.join(log_dir, "epoch_%05d.ckpt" % epoch))
+        if max_steps is not None and trainer.steps >= max_steps:
+            break
+
+    writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Inference: one jitted wav -> F0 contour graph.
+
+Re-designs the notebooks' host-side chunked ``predict_f0`` (reference
+Utils/dynamic_pitch_behavior.ipynb cell 5; same in all six notebooks) as a
+single XLA program: mel front-end -> overlapped 192-frame chunk extraction ->
+one *batched* model apply over all chunks -> stitch.  The reference loops
+chunks through the model one at a time on the host; batching them is the
+TPU-idiomatic shape (the chunk axis becomes a batch axis on the MXU).
+
+Stitching semantics: the reference concatenates ``f0_chunk[:end-start]`` for
+``start in range(0, T, 144)`` — for T > 192 successive chunks *overlap* by 48
+frames, so its output is longer than T and drifts out of frame alignment
+after the first chunk (a latent quirk of the notebook implementation).  The
+default here keeps the first ``step`` frames of each chunk (output length ==
+T, every frame aligned); ``legacy_concat=True`` reproduces the reference
+byte-for-byte for parity evaluations.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp.mel import MEL_LOG_OFFSET, mel_spectrogram_jax
+from ..dsp.resample import resample_np
+from ..models import JDCNet
+from ..train.checkpoint import restore_raw, tolerant_merge
+from flax import serialization
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn",
+        "sample_rate",
+        "n_fft",
+        "win_length",
+        "hop_length",
+        "n_mels",
+        "chunk_size",
+        "overlap",
+    ),
+)
+def _predict_graph(
+    apply_fn,
+    variables,
+    audio: jnp.ndarray,
+    sample_rate: int,
+    n_fft: int,
+    win_length: int,
+    hop_length: int,
+    n_mels: int,
+    chunk_size: int,
+    overlap: int,
+    mean: float,
+    std: float,
+):
+    """(samples,) -> per-chunk (n_chunks, chunk, ...) predictions + frame count."""
+    mel = mel_spectrogram_jax(
+        audio[None, :], sample_rate, n_fft, win_length, hop_length, n_mels
+    )[0]
+    mel = (jnp.log(MEL_LOG_OFFSET + mel) - mean) / std  # (n_mels, T)
+    total_frames = mel.shape[1]
+    step = max(chunk_size - overlap, 1)
+    n_chunks = max(1, -(-total_frames // step))  # ceil
+
+    # pad so every chunk window is fully in-bounds, then gather all chunks
+    padded = jnp.pad(mel, ((0, 0), (0, (n_chunks - 1) * step + chunk_size - total_frames)))
+    starts = jnp.arange(n_chunks) * step
+    idx = starts[:, None] + jnp.arange(chunk_size)[None, :]  # (n_chunks, chunk)
+    chunks = padded.T[idx]  # (n_chunks, chunk, n_mels)
+    x = chunks[..., None]  # NHWC (n_chunks, chunk, n_mels, 1)
+
+    f0_chunks, voicing_chunks = apply_fn(variables, x, train=False)
+    f0_chunks = jnp.squeeze(f0_chunks, axis=-1) if f0_chunks.shape[-1] == 1 else f0_chunks
+    return f0_chunks, voicing_chunks, total_frames
+
+
+class F0Predictor:
+    """Callable wav -> (f0_hz, voicing_logit) bound to one model + mel config."""
+
+    def __init__(
+        self,
+        model: JDCNet,
+        variables: Dict[str, Any],
+        mel_params: Optional[Dict] = None,
+        mean: float = -4.0,
+        std: float = 4.0,
+        chunk_size: int = 192,
+        overlap: int = 48,
+        voicing_threshold_hz: float = 10.0,
+    ) -> None:
+        from ..config import normalize_mel_params
+
+        self.model = model
+        self.variables = variables
+        self.mel_params = normalize_mel_params(mel_params)
+        self.mean = float(mean)
+        self.std = float(std)
+        self.chunk_size = int(chunk_size)
+        self.overlap = int(overlap)
+        self.voicing_threshold_hz = float(voicing_threshold_hz)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.mel_params["sample_rate"]
+
+    @property
+    def frame_period_ms(self) -> float:
+        return self.mel_params["hop_length"] * 1000.0 / self.sample_rate
+
+    def _run(self, audio: np.ndarray, sr: Optional[int]):
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        if sr is not None and sr != self.sample_rate:
+            audio = resample_np(audio, sr, self.sample_rate)
+        f0_chunks, voicing_chunks, total = _predict_graph(
+            self.model.apply,
+            self.variables,
+            jnp.asarray(audio),
+            self.sample_rate,
+            self.mel_params["n_fft"],
+            self.mel_params["win_length"],
+            self.mel_params["hop_length"],
+            self.mel_params["n_mels"],
+            self.chunk_size,
+            self.overlap,
+            self.mean,
+            self.std,
+        )
+        return np.asarray(f0_chunks), np.asarray(voicing_chunks), int(total)
+
+    def predict_f0(
+        self,
+        audio: np.ndarray,
+        sr: Optional[int] = None,
+        legacy_concat: bool = False,
+    ) -> np.ndarray:
+        """wav -> F0 contour in Hz (frame-aligned; see module docstring)."""
+        f0_chunks, _, total = self._run(audio, sr)
+        return self._stitch(f0_chunks, total, legacy_concat)
+
+    def predict(
+        self, audio: np.ndarray, sr: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """wav -> (f0_hz, voiced_mask) with the eval-suite voicing rule
+        (prediction > voicing_threshold_hz; notebooks CONFIG)."""
+        f0_chunks, _, total = self._run(audio, sr)
+        f0 = self._stitch(f0_chunks, total, False)
+        return f0, f0 > self.voicing_threshold_hz
+
+    def _stitch(self, chunks: np.ndarray, total_frames: int, legacy_concat: bool) -> np.ndarray:
+        step = max(self.chunk_size - self.overlap, 1)
+        if legacy_concat:
+            # reference notebook concatenation (overlapping, len >= T)
+            preds = []
+            for i, start in enumerate(range(0, total_frames, step)):
+                end = min(start + self.chunk_size, total_frames)
+                preds.append(chunks[i][: end - start])
+            return np.concatenate(preds) if preds else np.zeros((0,), np.float32)
+        out = np.zeros((total_frames,), dtype=np.float32)
+        for i, start in enumerate(range(0, total_frames, step)):
+            end = min(start + step, total_frames)
+            out[start:end] = chunks[i][: end - start]
+        return out
+
+
+def latest_checkpoint(path: str) -> Optional[str]:
+    """Newest checkpoint by trailing number then mtime (notebook
+    ``_latest_checkpoint``)."""
+    if not os.path.isdir(path):
+        return None
+
+    def sort_key(p: str):
+        numbers = [int(m) for m in re.findall(r"\d+", os.path.splitext(os.path.basename(p))[0])]
+        last = numbers[-1] if numbers else -1
+        return last, os.path.getmtime(p)
+
+    candidates = sorted(glob.glob(os.path.join(path, "*.ckpt")), key=sort_key)
+    return candidates[-1] if candidates else None
+
+
+def load_model(
+    checkpoint_path: str,
+    config: Optional[Dict] = None,
+) -> Tuple[JDCNet, Dict[str, Any]]:
+    """Rebuild a JDCNet from a checkpoint (+ YAML config), inferring
+    ``num_class`` from the classifier kernel shape (notebook ``load_model``)."""
+    raw = restore_raw(checkpoint_path)
+    model_state = raw.get("model", raw)
+    params = model_state.get("params", {})
+    batch_stats = model_state.get("batch_stats", {})
+
+    num_class = None
+    classifier = params.get("classifier", {})
+    kernel = classifier.get("kernel")
+    if kernel is not None:
+        num_class = int(np.asarray(kernel).shape[-1])
+
+    model_params: Dict[str, Any] = {}
+    if config:
+        model_params = dict(config.get("model_params", {}) or {})
+    meta_path = checkpoint_path + ".json"
+    if os.path.isfile(meta_path):
+        try:
+            meta = json.load(open(meta_path))
+            if isinstance(meta.get("model_params"), dict):
+                merged = dict(meta["model_params"])
+                merged.update({k: v for k, v in model_params.items() if k == "sequence_model"})
+                model_params = {**meta["model_params"], **model_params}
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    if num_class is None:
+        num_class = int(model_params.get("num_class", 1))
+
+    model = JDCNet(
+        num_class=num_class,
+        sequence_model_config=model_params.get("sequence_model", {}) or {},
+    )
+    dummy = jnp.zeros((1, 8, 80, 1), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), dummy, train=False)
+    variables = {
+        "params": serialization.from_state_dict(
+            template["params"],
+            tolerant_merge(serialization.to_state_dict(template["params"]), params),
+        ),
+        "batch_stats": serialization.from_state_dict(
+            template.get("batch_stats", {}),
+            tolerant_merge(
+                serialization.to_state_dict(template.get("batch_stats", {})), batch_stats
+            ),
+        ),
+    }
+    return model, variables

@@ -1,0 +1,153 @@
+"""Checkpoint save/load with shape-tolerant partial restore.
+
+The reference persists ``{model, optimizer, scheduler, steps, epochs}`` via
+``torch.save`` (trainer.py:138-153) and restores with a tolerant
+key-intersection copy that slice-copies the overlapping min-shape region on
+mismatch (trainer.py:173-195), enabling head resizing across runs.  We keep
+the same dict contract in a msgpack file (flax serialization), plus a sidecar
+JSON with config provenance, and reproduce the min-shape merge semantics in
+``tolerant_merge``.
+
+``tools/convert_torch_checkpoint.py`` converts reference ``.pth`` files into
+this format for parity evaluations.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+
+def save_checkpoint(
+    checkpoint_path: str,
+    params: Any,
+    batch_stats: Any,
+    opt_state: Any,
+    steps: int,
+    epochs: int,
+    extra_meta: Optional[Dict] = None,
+) -> None:
+    """Persist the full training state (reference trainer.py:138-153)."""
+    state = {
+        "model": {
+            "params": jax.device_get(params),
+            "batch_stats": jax.device_get(batch_stats),
+        },
+        "optimizer": jax.device_get(opt_state),
+        "steps": int(steps),
+        "epochs": int(epochs),
+    }
+    directory = os.path.dirname(checkpoint_path)
+    if directory and not os.path.exists(directory):
+        os.makedirs(directory, exist_ok=True)
+    with open(checkpoint_path, "wb") as handle:
+        # to_state_dict converts optax namedtuple/tuple state into plain
+        # string-keyed dicts that msgpack can serialize
+        handle.write(
+            serialization.msgpack_serialize(_to_pure(serialization.to_state_dict(state)))
+        )
+    meta = {"steps": int(steps), "epochs": int(epochs)}
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(checkpoint_path + ".json", "w", encoding="utf-8") as handle:
+        json.dump(meta, handle, sort_keys=True, default=str)
+
+
+def restore_raw(checkpoint_path: str) -> Dict:
+    with open(checkpoint_path, "rb") as handle:
+        return serialization.msgpack_restore(handle.read())
+
+
+def _to_pure(tree):
+    """Convert all leaves to numpy for msgpack serialization."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, (jnp.ndarray, np.ndarray, np.generic)) else x,
+        tree,
+    )
+
+
+def tolerant_merge(target, source, force_load: bool = True, path: str = ""):
+    """Key-intersection merge with min-shape slice copy on mismatch
+    (reference trainer.py:173-195).
+
+    Returns a tree with ``target``'s structure; leaves present in ``source``
+    overwrite, mismatched shapes overlap-copy when ``force_load``.
+    """
+    if isinstance(target, dict):
+        out = {}
+        src = source if isinstance(source, dict) else {}
+        src_by_norm = {str(k): v for k, v in src.items()}
+        for key, tval in target.items():
+            sval = src_by_norm.get(str(key), None)
+            if sval is None:
+                out[key] = tval
+            else:
+                out[key] = tolerant_merge(tval, sval, force_load, f"{path}/{key}")
+        return out
+    # leaf
+    tval = np.asarray(target)
+    try:
+        sval = np.asarray(source)
+    except Exception:
+        logger.info("not exist :%s", path)
+        return target
+    if sval.shape == tval.shape:
+        return sval.astype(tval.dtype) if sval.dtype != tval.dtype else sval
+    logger.info("%s does not have same shape: %s vs %s", path, sval.shape, tval.shape)
+    if not force_load:
+        return target
+    min_shape = np.minimum(np.array(sval.shape), np.array(tval.shape)) if sval.ndim == tval.ndim else None
+    if min_shape is None:
+        return target
+    merged = np.array(tval, copy=True)
+    slices = tuple(slice(0, int(m)) for m in min_shape)
+    merged[slices] = sval[slices]
+    return merged
+
+
+def load_checkpoint(
+    checkpoint_path: str,
+    params_template: Any,
+    batch_stats_template: Any,
+    opt_state_template: Any = None,
+    load_only_params: bool = False,
+    force_load: bool = True,
+) -> Tuple[Any, Any, Any, int, int]:
+    """Restore state (reference trainer.py:155-171).
+
+    Returns (params, batch_stats, opt_state, steps, epochs); opt_state/steps/
+    epochs come back as the template/0 when ``load_only_params``.
+    """
+    raw = restore_raw(checkpoint_path)
+    model = raw.get("model", {})
+    params_pure = serialization.to_state_dict(params_template)
+    stats_pure = serialization.to_state_dict(batch_stats_template)
+    params = serialization.from_state_dict(
+        params_template, tolerant_merge(params_pure, model.get("params", {}), force_load)
+    )
+    batch_stats = serialization.from_state_dict(
+        batch_stats_template,
+        tolerant_merge(stats_pure, model.get("batch_stats", {}), force_load),
+    )
+    if load_only_params:
+        return params, batch_stats, opt_state_template, 0, 0
+
+    steps = int(raw.get("steps", 0))
+    epochs = int(raw.get("epochs", 0))
+    opt_state = opt_state_template
+    if opt_state_template is not None and "optimizer" in raw:
+        try:
+            opt_state = serialization.from_state_dict(opt_state_template, raw["optimizer"])
+        except Exception as exc:  # optimizer topology changed — keep fresh state
+            logger.warning("Could not restore optimizer state (%s); reinitialising.", exc)
+    return params, batch_stats, opt_state, steps, epochs

@@ -1,0 +1,310 @@
+"""Training engine: jit-compiled data-parallel train/eval steps over a device
+mesh.
+
+TPU-first redesign of the reference ``Trainer`` (trainer.py:32-291):
+
+- **One compiled program per step.** The whole forward+loss+backward+AdamW
+  update is a single ``jax.jit`` with donated state; the reference's
+  per-batch Python (zero_grad / H2D copies / scaler juggling / scheduler
+  step) all becomes part of the compiled graph.  The LR schedule is a pure
+  function of the step counter inside the graph — per-step OneCycle exactly
+  like ``scheduler.step()`` per batch (trainer.py:248).
+- **Mixed precision the TPU way.** The reference needs CUDA AMP + GradScaler
+  (trainer.py:63-102).  On TPU, master params stay f32 and matmuls/convs run
+  on the MXU in bf16 via ``jax.default_matmul_precision`` — no loss scaling
+  required (bf16 has f32's exponent range).
+- **Gradient checkpointing** maps to ``jax.checkpoint`` over the model apply
+  (reference trainer.py:103-136 wraps the whole model in
+  ``torch.utils.checkpoint``), trading recompute for HBM.
+- **Data parallelism** (absent in the reference, SURVEY.md §2.11): batches
+  are sharded over the mesh's ``data`` axis, parameters replicated; XLA
+  inserts the gradient all-reduce over ICI.  BatchNorm statistics reduce over
+  the *global* (logical) batch by construction.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import make_mesh, DATA_AXIS
+from . import checkpoint as ckpt_lib
+from .losses import jdc_loss
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState:
+    """Mutable holder for the jitted step's donated state pytree."""
+
+    def __init__(self, params, batch_stats, opt_state, steps: int = 0):
+        self.params = params
+        self.batch_stats = batch_stats
+        self.opt_state = opt_state
+        self.steps = jnp.asarray(steps, jnp.int32)
+
+    def as_tuple(self):
+        return (self.params, self.batch_stats, self.opt_state, self.steps)
+
+    @classmethod
+    def from_tuple(cls, tup):
+        state = cls(tup[0], tup[1], tup[2], 0)
+        state.steps = tup[3]
+        return state
+
+
+class Trainer:
+    """Drop-in role of the reference Trainer (trainer.py:32-48 signature)."""
+
+    def __init__(
+        self,
+        model=None,
+        optimizer=None,  # optax GradientTransformation
+        scheduler=None,  # schedule fn(step) -> lr (for logging)
+        config: Optional[Dict] = None,
+        loss_config: Optional[Dict] = None,
+        train_dataloader=None,
+        val_dataloader=None,
+        logger_=None,
+        initial_steps: int = 0,
+        initial_epochs: int = 0,
+        use_mixed_precision: bool = True,
+        gradient_checkpointing: bool = False,
+        mesh=None,
+        seed: int = 0,
+        n_mels: int = 80,
+        max_mel_length: int = 192,
+    ) -> None:
+        self.model = model
+        self.tx = optimizer
+        self.schedule = scheduler
+        self.config = config or {}
+        self.loss_config = loss_config or {}
+        self.train_dataloader = train_dataloader
+        self.val_dataloader = val_dataloader
+        self.logger = logger_ or logger
+        self.epochs = int(initial_epochs)
+        self.use_mixed_precision = bool(use_mixed_precision)
+        self.gradient_checkpointing = bool(gradient_checkpointing)
+        self.n_mels = int(n_mels)
+        self.max_mel_length = int(max_mel_length)
+        self.finish_train = False
+
+        self.mesh = mesh if mesh is not None else make_mesh(model_parallel=1)
+        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._replicated = NamedSharding(self.mesh, P())
+        self._rng = jax.random.PRNGKey(seed)
+
+        # --- initialise model + optimizer state --------------------------
+        dummy = jnp.zeros((2, self.max_mel_length, self.n_mels, 1), jnp.float32)
+        variables = self.model.init(self._rng, dummy, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        put = partial(jax.device_put, device=self._replicated)
+        self.state = TrainState(
+            jax.tree_util.tree_map(put, params),
+            jax.tree_util.tree_map(put, batch_stats),
+            jax.tree_util.tree_map(put, opt_state),
+            initial_steps,
+        )
+        self._param_count = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
+        )
+        self.logger.info(
+            "Initialised model with %.2fM parameters on mesh %s",
+            self._param_count / 1e6,
+            dict(zip(self.mesh.axis_names, self.mesh.devices.shape)),
+        )
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    @property
+    def steps(self) -> int:
+        return int(self.state.steps)
+
+    def _apply_fn(self):
+        """Model apply, optionally wrapped in rematerialisation."""
+        lambda_f0 = float(self.loss_config.get("lambda_f0", 0.1))
+        model = self.model
+
+        def forward(params, batch_stats, x, dropout_rng, train: bool):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if train:
+                (f0_pred, sil_pred), mutated = model.apply(
+                    variables,
+                    x,
+                    train=True,
+                    rngs={"dropout": dropout_rng},
+                    mutable=["batch_stats"],
+                )
+                return f0_pred, sil_pred, mutated["batch_stats"]
+            f0_pred, sil_pred = model.apply(variables, x, train=False)
+            return f0_pred, sil_pred, batch_stats
+
+        if self.gradient_checkpointing:
+            forward = jax.checkpoint(forward, static_argnums=(4,))
+        return forward, lambda_f0
+
+    def _build_train_step(self):
+        forward, lambda_f0 = self._apply_fn()
+        tx = self.tx
+        base_rng = self._rng
+        matmul_precision = "bfloat16" if self.use_mixed_precision else "highest"
+
+        def train_step(params, batch_stats, opt_state, steps, mels, f0, sil):
+            with jax.default_matmul_precision(matmul_precision):
+                x = jnp.transpose(mels, (0, 3, 2, 1))  # (B,1,M,T) -> (B,T,M,1)
+                dropout_rng = jax.random.fold_in(base_rng, steps)
+
+                def loss_fn(p):
+                    f0_pred, sil_pred, new_stats = forward(p, batch_stats, x, dropout_rng, True)
+                    loss, loss_f0, loss_sil = jdc_loss(f0_pred, sil_pred, f0, sil, lambda_f0)
+                    return loss, (loss_f0, loss_sil, new_stats)
+
+                (loss, (loss_f0, loss_sil, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                updates, new_opt_state = tx.update(grads, opt_state, params)
+                new_params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+                metrics = {"loss": loss, "f0": loss_f0, "sil": loss_sil}
+                return new_params, new_stats, new_opt_state, steps + 1, metrics
+
+        return jax.jit(
+            train_step,
+            in_shardings=(
+                self._replicated,
+                self._replicated,
+                self._replicated,
+                self._replicated,
+                self._batch_sharding,
+                self._batch_sharding,
+                self._batch_sharding,
+            ),
+            donate_argnums=(0, 1, 2, 3),
+        )
+
+    def _build_eval_step(self):
+        forward, lambda_f0 = self._apply_fn()
+        matmul_precision = "bfloat16" if self.use_mixed_precision else "highest"
+
+        def eval_step(params, batch_stats, mels, f0, sil):
+            with jax.default_matmul_precision(matmul_precision):
+                x = jnp.transpose(mels, (0, 3, 2, 1))
+                f0_pred, sil_pred, _ = forward(
+                    params, batch_stats, x, jax.random.PRNGKey(0), False
+                )
+                loss, loss_f0, loss_sil = jdc_loss(f0_pred, sil_pred, f0, sil, lambda_f0)
+                return {"loss": loss, "f0": loss_f0, "sil": loss_sil}
+
+        return jax.jit(
+            eval_step,
+            in_shardings=(
+                self._replicated,
+                self._replicated,
+                self._batch_sharding,
+                self._batch_sharding,
+                self._batch_sharding,
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def _put_batch(self, batch):
+        mels, f0s, sils = batch
+        n_dev = self.mesh.devices.size
+        b = mels.shape[0]
+        if b % n_dev:
+            # pad the batch up to a multiple of the mesh (drop_last loaders
+            # avoid this on the train path; eval tails land here)
+            pad = n_dev - b % n_dev
+            mels = np.concatenate([mels, np.repeat(mels[-1:], pad, axis=0)])
+            f0s = np.concatenate([f0s, np.repeat(f0s[-1:], pad, axis=0)])
+            sils = np.concatenate([sils, np.repeat(sils[-1:], pad, axis=0)])
+        put = partial(jax.device_put, device=self._batch_sharding)
+        return put(np.asarray(mels)), put(np.asarray(f0s)), put(np.asarray(sils))
+
+    def run(self, batch) -> Dict[str, float]:
+        """One optimization step (reference trainer.py:219-252)."""
+        mels, f0s, sils = self._put_batch(batch)
+        s = self.state
+        params, stats, opt_state, steps, metrics = self._train_step(
+            s.params, s.batch_stats, s.opt_state, s.steps, mels, f0s, sils
+        )
+        self.state = TrainState.from_tuple((params, stats, opt_state, steps))
+        return {k: float(v) for k, v in metrics.items()}
+
+    def _get_lr(self) -> float:
+        if self.schedule is None:
+            return 0.0
+        return float(self.schedule(max(self.steps - 1, 0)))
+
+    def _train_epoch(self) -> Dict[str, float]:
+        """(reference trainer.py:254-265)"""
+        self.epochs += 1
+        train_losses = defaultdict(list)
+        t0 = time.time()
+        n_items = 0
+        for batch in self.train_dataloader:
+            losses = self.run(batch)
+            n_items += batch[0].shape[0]
+            for key, value in losses.items():
+                train_losses[f"train/{key}"].append(value)
+        elapsed = max(time.time() - t0, 1e-9)
+        results = {key: float(np.mean(value)) for key, value in train_losses.items()}
+        results["train/learning_rate"] = self._get_lr()
+        results["train/utterances_per_second"] = n_items / elapsed
+        return results
+
+    def _eval_epoch(self) -> Dict[str, float]:
+        """(reference trainer.py:267-291)"""
+        eval_losses = defaultdict(list)
+        for batch in self.val_dataloader:
+            mels, f0s, sils = self._put_batch(batch)
+            metrics = self._eval_step(
+                self.state.params, self.state.batch_stats, mels, f0s, sils
+            )
+            for key, value in metrics.items():
+                eval_losses[f"eval/{key}"].append(float(value))
+        return {key: float(np.mean(value)) for key, value in eval_losses.items()}
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, checkpoint_path: str) -> None:
+        ckpt_lib.save_checkpoint(
+            checkpoint_path,
+            self.state.params,
+            self.state.batch_stats,
+            self.state.opt_state,
+            steps=self.steps,
+            epochs=self.epochs,
+            extra_meta={"model_params": self.config.get("model_params")},
+        )
+
+    def load_checkpoint(self, checkpoint_path: str, load_only_params: bool = False) -> None:
+        params, batch_stats, opt_state, steps, epochs = ckpt_lib.load_checkpoint(
+            checkpoint_path,
+            self.state.params,
+            self.state.batch_stats,
+            self.state.opt_state,
+            load_only_params=load_only_params,
+        )
+        put = partial(jax.device_put, device=self._replicated)
+        self.state = TrainState(
+            jax.tree_util.tree_map(put, params),
+            jax.tree_util.tree_map(put, batch_stats),
+            jax.tree_util.tree_map(put, opt_state),
+            steps,
+        )
+        if not load_only_params:
+            self.epochs = epochs

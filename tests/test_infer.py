@@ -1,0 +1,123 @@
+"""Inference tests: chunk stitching exactness, legacy-concat parity with the
+reference notebook loop, checkpoint discovery, end-to-end predict."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pitchextractor_tpu.infer import F0Predictor, latest_checkpoint, load_model
+from pitchextractor_tpu.models import JDCNet
+
+TINY_SEQ = {"model_type": "bilstm", "num_layers": 1, "hidden_size": 16}
+SR = 24000
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    model = JDCNet(num_class=1, sequence_model_config=TINY_SEQ)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80, 1)), train=False)
+    return F0Predictor(model, variables)
+
+
+def _audio(seconds=3.0):
+    t = np.arange(int(SR * seconds)) / SR
+    return (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+
+def test_output_length_matches_mel_frames(predictor):
+    audio = _audio(3.0)  # 240 mel frames > chunk_size
+    f0 = predictor.predict_f0(audio)
+    expected = 1 + len(audio) // 300
+    assert f0.shape == (expected,)
+
+
+def test_short_audio_single_chunk(predictor):
+    audio = _audio(0.5)  # 41 frames < 192
+    f0 = predictor.predict_f0(audio)
+    assert f0.shape == (1 + len(audio) // 300,)
+
+
+def test_stitched_equals_reference_loop(predictor):
+    """The default stitching must agree with a host-side per-chunk model loop
+    on the non-overlapping frames (each chunk's first `step`)."""
+    audio = _audio(3.0)
+    f0 = predictor.predict_f0(audio)
+
+    # manual loop mirroring the notebook, through the same model
+    from pitchextractor_tpu.dsp.mel import mel_spectrogram_np, MEL_LOG_OFFSET
+
+    mel = mel_spectrogram_np(audio, SR, 1024, 1024, 300, 80)
+    mel = ((np.log(MEL_LOG_OFFSET + mel) + 4.0) / 4.0).astype(np.float32)
+    T = mel.shape[1]
+    step = 144
+    for start in [0, step]:
+        end = min(start + 192, T)
+        chunk = mel[:, start:end]
+        pad = 192 - chunk.shape[1]
+        if pad > 0:
+            chunk = np.pad(chunk, ((0, 0), (0, pad)))
+        x = jnp.asarray(chunk.T[None, :, :, None])
+        ref_f0, _ = predictor.model.apply(predictor.variables, x, train=False)
+        ref_f0 = np.asarray(ref_f0)[0, :, 0]
+        keep = min(step, T - start)
+        np.testing.assert_allclose(f0[start : start + keep], ref_f0[:keep], atol=2e-3)
+
+
+def test_legacy_concat_matches_reference_semantics(predictor):
+    """legacy_concat reproduces the notebook's overlapping concatenation:
+    length = sum over chunks of (end - start) >= T."""
+    audio = _audio(3.0)
+    f0 = predictor.predict_f0(audio, legacy_concat=True)
+    T = 1 + len(audio) // 300  # 241
+    step, chunk = 144, 192
+    expected = sum(min(chunk, T - s) for s in range(0, T, step))
+    assert f0.shape == (expected,)
+    assert expected > T  # documents the reference quirk
+
+
+def test_predict_voicing_threshold(predictor):
+    audio = _audio(1.0)
+    f0, voiced = predictor.predict(audio)
+    np.testing.assert_array_equal(voiced, f0 > 10.0)
+
+
+def test_resample_path(predictor):
+    audio = _audio(1.0)
+    f0_24k = predictor.predict_f0(audio)
+    # 48k input resampled internally to 24k
+    audio48 = np.repeat(audio, 2)  # crude 2x (spectrally dirty but fine here)
+    f0_48k = predictor.predict_f0(audio48, sr=48000)
+    assert abs(f0_48k.shape[0] - f0_24k.shape[0]) <= 1
+
+
+def test_latest_checkpoint_discovery(tmp_path):
+    assert latest_checkpoint(str(tmp_path)) is None
+    (tmp_path / "epoch_00005.ckpt").write_bytes(b"x")
+    (tmp_path / "epoch_00010.ckpt").write_bytes(b"x")
+    (tmp_path / "epoch_00002.ckpt").write_bytes(b"x")
+    assert latest_checkpoint(str(tmp_path)).endswith("epoch_00010.ckpt")
+
+
+def test_load_model_roundtrip(tmp_path):
+    from pitchextractor_tpu.train.checkpoint import save_checkpoint
+
+    model = JDCNet(num_class=1, sequence_model_config=TINY_SEQ)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 80, 1)), train=False)
+    path = str(tmp_path / "epoch_00001.ckpt")
+    save_checkpoint(
+        path,
+        variables["params"],
+        variables["batch_stats"],
+        opt_state={},
+        steps=10,
+        epochs=1,
+        extra_meta={"model_params": {"num_class": 1, "sequence_model": TINY_SEQ}},
+    )
+    model2, variables2 = load_model(path)
+    assert model2.num_class == 1
+    audio = _audio(0.5)
+    p1 = F0Predictor(model, variables).predict_f0(audio)
+    p2 = F0Predictor(model2, variables2).predict_f0(audio)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)

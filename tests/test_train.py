@@ -1,0 +1,224 @@
+"""Training engine tests: loss/schedule parity vs torch oracles, a tiny
+end-to-end training run that must reduce the loss, checkpoint round-trip +
+shape-tolerant restore, and a data-parallel step on the 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pitchextractor_tpu.models import JDCNet
+from pitchextractor_tpu.parallel import make_mesh
+from pitchextractor_tpu.train import (
+    Trainer,
+    bce_with_logits_loss,
+    build_optimizer,
+    onecycle_schedule,
+    smooth_l1_loss,
+)
+from pitchextractor_tpu.train.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    tolerant_merge,
+)
+
+torch = pytest.importorskip("torch")
+
+TINY_SEQ = {"model_type": "bilstm", "num_layers": 1, "hidden_size": 32}
+
+
+def _tiny_trainer(train_batches, val_batches, mesh=None, **kwargs):
+    model = JDCNet(num_class=1, sequence_model_config=TINY_SEQ)
+    steps_per_epoch = max(len(train_batches), 1)
+    tx, schedule = build_optimizer(
+        {
+            "params": None,
+            "optimizer_params": {"lr": 1e-3},
+            "scheduler_params": {"max_lr": 1e-3, "epochs": 4, "steps_per_epoch": steps_per_epoch},
+        }
+    )
+    return Trainer(
+        model=model,
+        optimizer=tx,
+        scheduler=schedule,
+        loss_config={"lambda_f0": 0.1},
+        train_dataloader=train_batches,
+        val_dataloader=val_batches,
+        use_mixed_precision=False,
+        mesh=mesh,
+        n_mels=80,
+        max_mel_length=48,
+        **kwargs,
+    )
+
+
+def _synthetic_batches(n_batches=2, B=8, T=48, M=80, seed=0):
+    rng = np.random.default_rng(seed)
+    batches = []
+    for _ in range(n_batches):
+        mels = rng.standard_normal((B, 1, M, T)).astype(np.float32)
+        f0 = np.abs(rng.standard_normal((B, T))).astype(np.float32) * 100
+        sil = (rng.random((B, T)) > 0.7).astype(np.float32)
+        f0[sil == 1] = 0.0
+        batches.append((mels, f0, sil))
+    return batches
+
+
+# ------------------------------------------------------------------ losses
+def test_smooth_l1_matches_torch():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 32)).astype(np.float32) * 3
+    b = rng.standard_normal((4, 32)).astype(np.float32) * 3
+    ours = float(smooth_l1_loss(jnp.asarray(a), jnp.asarray(b)))
+    ref = float(torch.nn.SmoothL1Loss()(torch.from_numpy(a), torch.from_numpy(b)))
+    assert abs(ours - ref) < 1e-6
+
+
+def test_bce_with_logits_matches_torch():
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((4, 32)).astype(np.float32) * 4
+    targets = (rng.random((4, 32)) > 0.5).astype(np.float32)
+    ours = float(bce_with_logits_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    ref = float(
+        torch.nn.BCEWithLogitsLoss()(torch.from_numpy(logits), torch.from_numpy(targets))
+    )
+    assert abs(ours - ref) < 1e-6
+
+
+# ---------------------------------------------------------------- schedule
+@pytest.mark.parametrize("pct_start", [0.0, 0.3])
+def test_onecycle_matches_torch(pct_start):
+    epochs, steps_per_epoch, max_lr = 3, 7, 3e-4
+    sched = onecycle_schedule(max_lr, epochs, steps_per_epoch, pct_start=pct_start)
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.AdamW([p], lr=max_lr)
+    ref_sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt,
+        max_lr=max_lr,
+        epochs=epochs,
+        steps_per_epoch=steps_per_epoch,
+        pct_start=pct_start,
+        final_div_factor=5,
+    )
+    total = epochs * steps_per_epoch
+    for step in range(total):
+        ref_lr = opt.param_groups[0]["lr"]
+        ours = float(sched(step))
+        assert abs(ours - ref_lr) / max(ref_lr, 1e-12) < 1e-5, (step, ours, ref_lr)
+        opt.step()
+        ref_sched.step()
+
+
+# ----------------------------------------------------------------- trainer
+def test_training_reduces_loss():
+    batches = _synthetic_batches(n_batches=2)
+    trainer = _tiny_trainer(batches, batches[:1])
+    first = trainer._train_epoch()
+    for _ in range(2):
+        last = trainer._train_epoch()
+    assert last["train/loss"] < first["train/loss"]
+    assert trainer.steps == 6
+    ev = trainer._eval_epoch()
+    assert set(ev) == {"eval/loss", "eval/f0", "eval/sil"}
+    assert 0 < first["train/learning_rate"] <= 1e-3
+
+
+def test_train_step_metrics_finite_with_remat_and_bf16():
+    batches = _synthetic_batches(n_batches=1)
+    trainer = _tiny_trainer(
+        batches, batches, gradient_checkpointing=True,
+    )
+    trainer.use_mixed_precision = True
+    metrics = trainer.run(batches[0])
+    assert all(np.isfinite(v) for v in metrics.values())
+
+
+def test_data_parallel_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()  # (8, 1)
+    batches = _synthetic_batches(n_batches=2, B=16)
+    trainer = _tiny_trainer(batches, batches[:1], mesh=mesh)
+    r = trainer._train_epoch()
+    assert np.isfinite(r["train/loss"])
+    # replicated-vs-sharded consistency: same data, single-device mesh
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    trainer1 = _tiny_trainer(batches, batches[:1], mesh=mesh1)
+    r1 = trainer1._train_epoch()
+    np.testing.assert_allclose(r["train/loss"], r1["train/loss"], rtol=1e-4)
+
+
+def test_eval_batch_padding_to_mesh():
+    mesh = make_mesh()
+    batches = _synthetic_batches(n_batches=1, B=16)
+    trainer = _tiny_trainer(batches, [tuple(a[:5] for a in batches[0])], mesh=mesh)
+    ev = trainer._eval_epoch()  # B=5 padded to 8-divisible
+    assert np.isfinite(ev["eval/loss"])
+
+
+# -------------------------------------------------------------- checkpoint
+def test_checkpoint_roundtrip(tmp_path):
+    batches = _synthetic_batches(n_batches=1)
+    trainer = _tiny_trainer(batches, batches)
+    trainer.run(batches[0])
+    path = str(tmp_path / "epoch_00001.ckpt")
+    trainer.save_checkpoint(path)
+    assert os.path.isfile(path) and os.path.isfile(path + ".json")
+
+    trainer2 = _tiny_trainer(batches, batches)
+    trainer2.load_checkpoint(path)
+    assert trainer2.steps == trainer.steps
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(trainer2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # continued training works after restore
+    m = trainer2.run(batches[0])
+    assert np.isfinite(m["loss"])
+
+
+def test_checkpoint_load_only_params(tmp_path):
+    batches = _synthetic_batches(n_batches=1)
+    trainer = _tiny_trainer(batches, batches)
+    trainer.run(batches[0])
+    path = str(tmp_path / "ck.ckpt")
+    trainer.save_checkpoint(path)
+    trainer2 = _tiny_trainer(batches, batches)
+    trainer2.load_checkpoint(path, load_only_params=True)
+    assert trainer2.steps == 0
+
+
+def test_tolerant_merge_shape_mismatch():
+    target = {"w": np.zeros((4, 6), np.float32), "b": np.zeros((4,), np.float32)}
+    source = {"w": np.ones((2, 8), np.float32)}
+    merged = tolerant_merge(target, source)
+    assert merged["w"].shape == (4, 6)
+    assert merged["w"][:2, :6].sum() == 12  # overlapping region copied
+    assert merged["w"][2:].sum() == 0
+    np.testing.assert_array_equal(merged["b"], target["b"])
+
+
+def test_checkpoint_resized_head(tmp_path):
+    """Reference trainer._load force_load semantics: loading a num_class=1
+    checkpoint into a num_class=4 model slice-copies the overlap."""
+    batches = _synthetic_batches(n_batches=1)
+    trainer = _tiny_trainer(batches, batches)
+    path = str(tmp_path / "ck.ckpt")
+    trainer.save_checkpoint(path)
+
+    model4 = JDCNet(num_class=4, sequence_model_config=TINY_SEQ)
+    tx, schedule = build_optimizer(
+        {"params": None, "optimizer_params": {}, "scheduler_params": {"max_lr": 1e-3, "epochs": 1, "steps_per_epoch": 1}}
+    )
+    trainer4 = Trainer(
+        model=model4, optimizer=tx, scheduler=schedule,
+        train_dataloader=batches, val_dataloader=batches,
+        use_mixed_precision=False, n_mels=80, max_mel_length=48,
+    )
+    trainer4.load_checkpoint(path, load_only_params=True)
+    w1 = np.asarray(trainer.state.params["classifier"]["kernel"])
+    w4 = np.asarray(trainer4.state.params["classifier"]["kernel"])
+    np.testing.assert_array_equal(w4[:, :1], w1)
