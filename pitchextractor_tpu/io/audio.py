@@ -192,18 +192,28 @@ def read_audio(
     if count <= 0:
         data = np.zeros((0, info.channels), dtype=np.float32)
     else:
-        try:
-            with open(path, "rb") as handle:
-                handle.seek(info.data_offset + start * bytes_per_frame)
-                raw = handle.read(count * bytes_per_frame)
-        except OSError as exc:
-            raise AudioDecodeError(f"failed to read audio data '{path}': {exc}") from exc
-        usable = (len(raw) // bytes_per_frame) * bytes_per_frame
-        data = _decode_pcm(raw[:usable], info).reshape(-1, info.channels)
+        # native C++ fast path (native/pexio.cpp) with transparent fallback
+        from .native import native_read
+
+        data = native_read(path, start, count, info.channels)
+        if data is None:
+            data = _read_numpy(path, info, start, count)
 
     if not always_2d and info.channels == 1:
         data = data.reshape(-1)
     return data, info.samplerate
+
+
+def _read_numpy(path: str, info: AudioInfo, start: int, count: int) -> np.ndarray:
+    bytes_per_frame = info.channels * (info.bits_per_sample // 8)
+    try:
+        with open(path, "rb") as handle:
+            handle.seek(info.data_offset + start * bytes_per_frame)
+            raw = handle.read(count * bytes_per_frame)
+    except OSError as exc:
+        raise AudioDecodeError(f"failed to read audio data '{path}': {exc}") from exc
+    usable = (len(raw) // bytes_per_frame) * bytes_per_frame
+    return _decode_pcm(raw[:usable], info).reshape(-1, info.channels)
 
 
 def write_wav(path: str, data: np.ndarray, samplerate: int, subtype: str = "PCM_16") -> None:

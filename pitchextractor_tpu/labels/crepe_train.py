@@ -1,0 +1,154 @@
+"""Self-training for the flax CREPE labeler.
+
+The reference consumes *pretrained* torchcrepe weights; in a hermetic TPU
+environment we can instead bootstrap CREPE weights from the framework's own
+synthetic generators (harmonic formant vowels + analytic sine stimuli), whose
+F0 is exact by construction (data/synthetic.py, eval/stimuli.py).  Targets
+follow the CREPE paper: 360 20-cent bins, Gaussian-blurred one-hot (25-cent
+std), binary cross-entropy per bin; unvoiced/noise frames get all-zero
+targets so peak activation doubles as a periodicity signal — matching the
+torchcrepe decoding semantics our backend uses.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.synthetic import HarmonicSynthesizer
+from .crepe import (
+    CREPE_BINS,
+    CREPE_CAPACITIES,
+    CREPE_SAMPLE_RATE,
+    CREPE_WINDOW,
+    CrepeModel,
+    bins_to_cents,
+    save_crepe_weights,
+)
+
+_CENTS_STD = 25.0
+
+
+def _cents_to_bin_targets(cents: np.ndarray) -> np.ndarray:
+    """Gaussian-blurred one-hot over the 360 bins; zeros for unvoiced."""
+    bin_cents = bins_to_cents(np.arange(CREPE_BINS, dtype=np.float64))
+    targets = np.exp(-0.5 * ((bin_cents[None, :] - cents[:, None]) / _CENTS_STD) ** 2)
+    targets[cents <= 0] = 0.0
+    return targets.astype(np.float32)
+
+
+def synthetic_frame_batches(
+    batch_size: int = 256,
+    unvoiced_fraction: float = 0.2,
+    fmin: float = 50.0,
+    fmax: float = 1000.0,
+    seed: int = 0,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (frames (B, 1024) @16 kHz, bin targets (B, 360)) forever."""
+    rng = np.random.default_rng(seed)
+    synth = HarmonicSynthesizer(
+        sample_rate=CREPE_SAMPLE_RATE,
+        hop_length=CREPE_WINDOW,  # one frame per hop keeps labels trivial
+        fft_size=1024,
+        config={
+            "duration": {"min": 0.3, "max": 0.8},
+            "pitch_range": [fmin, fmax],
+            "gain_db_range": [-20.0, -3.0],
+            "noise_db": -45.0,
+        },
+        rng=rng,
+    )
+    while True:
+        frames = np.zeros((batch_size, CREPE_WINDOW), dtype=np.float32)
+        cents = np.zeros((batch_size,), dtype=np.float64)
+        i = 0
+        while i < batch_size:
+            if rng.random() < unvoiced_fraction:
+                # unvoiced: noise at random level, or near-silence
+                level = 10.0 ** (rng.uniform(-60, -20) / 20.0)
+                frames[i] = level * rng.standard_normal(CREPE_WINDOW)
+                cents[i] = 0.0
+                i += 1
+                continue
+            if rng.random() < 0.5:
+                # harmonic vowel
+                wave, f0 = synth.generate()
+            else:
+                # plain (possibly vibrato'd) sine with exact F0
+                n = CREPE_WINDOW * rng.integers(2, 6)
+                base = np.exp(rng.uniform(np.log(fmin), np.log(fmax)))
+                t = np.arange(n) / CREPE_SAMPLE_RATE
+                curve = base * 2 ** (
+                    rng.uniform(0, 0.3) * np.sin(2 * np.pi * rng.uniform(3, 7) * t)
+                )
+                phase = np.cumsum(2 * np.pi * curve / CREPE_SAMPLE_RATE)
+                wave = (10 ** (rng.uniform(-20, -3) / 20) * np.sin(phase)).astype(np.float32)
+                f0 = curve[:: CREPE_WINDOW].astype(np.float32)
+            n_frames = min(len(f0), len(wave) // CREPE_WINDOW)
+            for k in range(n_frames):
+                if i >= batch_size:
+                    break
+                frames[i] = wave[k * CREPE_WINDOW : (k + 1) * CREPE_WINDOW]
+                hz = float(f0[k])
+                cents[i] = 1200.0 * np.log2(hz / 10.0) if hz > 0 else 0.0
+                i += 1
+        yield frames, _cents_to_bin_targets(cents)
+
+
+def train_crepe(
+    capacity: str = "tiny",
+    steps: int = 2000,
+    batch_size: int = 256,
+    learning_rate: float = 2e-4,
+    seed: int = 0,
+    output_path: Optional[str] = None,
+    log_every: int = 200,
+) -> dict:
+    """Train a CREPE model on synthetic data; returns flax variables."""
+    model = CrepeModel(capacity=CREPE_CAPACITIES[capacity])
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(rng, jnp.zeros((1, CREPE_WINDOW)), train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, batch_stats, opt_state, frames, targets):
+        mean = jnp.mean(frames, axis=-1, keepdims=True)
+        std = jnp.maximum(jnp.std(frames, axis=-1, keepdims=True), 1e-10)
+        frames = (frames - mean) / std
+
+        def loss_fn(p):
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                frames,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss = jnp.mean(
+                jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    batches = synthetic_frame_batches(batch_size=batch_size, seed=seed)
+    for i in range(steps):
+        frames, targets = next(batches)
+        params, batch_stats, opt_state, loss = step_fn(
+            params, batch_stats, opt_state, jnp.asarray(frames), jnp.asarray(targets)
+        )
+        if log_every and (i + 1) % log_every == 0:
+            print(f"[crepe-train] step {i + 1}/{steps} loss {float(loss):.4f}")
+
+    variables = {"params": params, "batch_stats": batch_stats}
+    if output_path:
+        save_crepe_weights(output_path, variables)
+    return variables

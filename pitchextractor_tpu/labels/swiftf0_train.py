@@ -1,0 +1,130 @@
+"""Self-training for the SwiftF0-style spectrogram labeler.
+
+Same bootstrap strategy as labels/crepe_train.py: synthetic utterances with
+exact F0 provide (log-spectrogram patch, pitch-bin) pairs; the model trains
+with softmax cross-entropy over its 200 log-spaced bins plus an auxiliary
+"unvoiced" handling: unvoiced frames get a uniform target so their max
+probability (the confidence signal) stays low.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.synthetic import HarmonicSynthesizer
+from ..dsp.stft import stft_np
+from .swiftf0 import (
+    BIN_HI,
+    BIN_LO,
+    HOP_LENGTH,
+    N_FFT,
+    PITCH_BINS,
+    TARGET_SAMPLE_RATE,
+    SwiftF0Model,
+    _pitch_bin_frequencies,
+    save_swiftf0_weights,
+)
+
+
+def _f0_to_targets(f0: np.ndarray) -> np.ndarray:
+    """Soft targets over log-spaced bins; uniform for unvoiced frames."""
+    freqs = _pitch_bin_frequencies()
+    log_bins = np.log(freqs)
+    targets = np.full((f0.shape[0], PITCH_BINS), 1.0 / PITCH_BINS, dtype=np.float32)
+    voiced = f0 > 0
+    if voiced.any():
+        logf = np.log(np.clip(f0[voiced], freqs[0], freqs[-1]))
+        # Gaussian in log-frequency, std = half a bin spacing * 2
+        std = 2.0 * (log_bins[1] - log_bins[0])
+        t = np.exp(-0.5 * ((log_bins[None, :] - logf[:, None]) / std) ** 2)
+        targets[voiced] = (t / t.sum(axis=1, keepdims=True)).astype(np.float32)
+    return targets
+
+
+def synthetic_spec_batches(
+    frames_per_batch: int = 512,
+    unvoiced_fraction: float = 0.25,
+    seed: int = 0,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (spec patches (1, T, F), targets (T, bins)) forever."""
+    rng = np.random.default_rng(seed)
+    synth = HarmonicSynthesizer(
+        sample_rate=TARGET_SAMPLE_RATE,
+        hop_length=HOP_LENGTH,
+        fft_size=N_FFT,
+        config={
+            "duration": {"min": 0.5, "max": 1.5},
+            "pitch_range": [50.0, 1800.0],
+            "gain_db_range": [-24.0, -3.0],
+            "noise_db": -45.0,
+        },
+        rng=rng,
+    )
+    while True:
+        specs = []
+        f0s = []
+        total = 0
+        while total < frames_per_batch:
+            if rng.random() < unvoiced_fraction:
+                n = HOP_LENGTH * rng.integers(10, 30)
+                level = 10.0 ** (rng.uniform(-60, -20) / 20.0)
+                wave = (level * rng.standard_normal(n)).astype(np.float32)
+                f0 = np.zeros(1 + n // HOP_LENGTH, dtype=np.float32)
+            else:
+                wave, f0 = synth.generate()
+            spec = np.abs(
+                stft_np(wave, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=N_FFT)
+            ).astype(np.float32)
+            patch = np.log(spec[BIN_LO:BIN_HI, :].T + 1e-8)
+            n = min(patch.shape[0], len(f0))
+            specs.append(patch[:n])
+            f0s.append(f0[:n])
+            total += n
+        spec_cat = np.concatenate(specs, axis=0)[:frames_per_batch]
+        f0_cat = np.concatenate(f0s, axis=0)[:frames_per_batch]
+        yield spec_cat[None, ...], _f0_to_targets(f0_cat)
+
+
+def train_swiftf0(
+    steps: int = 2000,
+    frames_per_batch: int = 512,
+    learning_rate: float = 3e-4,
+    seed: int = 0,
+    output_path: Optional[str] = None,
+    log_every: int = 200,
+) -> dict:
+    model = SwiftF0Model()
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(rng, jnp.zeros((1, 4, BIN_HI - BIN_LO)))
+    params = variables["params"]
+    tx = optax.adam(learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, spec, targets):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, spec)[0]  # (T, bins)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.sum(targets * logp, axis=-1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    batches = synthetic_spec_batches(frames_per_batch=frames_per_batch, seed=seed)
+    for i in range(steps):
+        spec, targets = next(batches)
+        params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(spec), jnp.asarray(targets))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"[swiftf0-train] step {i + 1}/{steps} loss {float(loss):.4f}")
+
+    variables = {"params": params}
+    if output_path:
+        save_swiftf0_weights(output_path, variables)
+    return variables

@@ -31,14 +31,33 @@ import flax.linen as nn
 from .init import kaiming_uniform, normal_std1, orthogonal, zeros
 
 
+def _lstm_use_pallas() -> bool:
+    """Use the Pallas recurrence kernel on TPU backends unless disabled."""
+    import os
+
+    if os.environ.get("PEX_DISABLE_PALLAS_LSTM"):
+        return False
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 class LSTMLayer(nn.Module):
-    """One unidirectional LSTM layer over (B, T, D) -> (B, T, H)."""
+    """One unidirectional LSTM layer over (B, T, D) -> (B, T, H).
+
+    The input projection for all timesteps is hoisted into one MXU matmul;
+    the recurrence runs either as a ``lax.scan`` (CPU / fallback) or as the
+    Pallas kernel (ops/lstm_pallas.py) that keeps the carry in VMEM.
+    """
 
     hidden_size: int
     reverse: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, project_only: bool = False):
         B, T, D = x.shape
         H = self.hidden_size
         # torch LSTM parameter layout: weight_ih (4H, D), weight_hh (4H, H),
@@ -50,7 +69,17 @@ class LSTMLayer(nn.Module):
 
         # hoist the input projection out of the scan: one MXU matmul
         x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
-        x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) time-major for scan
+        x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) time-major
+
+        if project_only:
+            # fused bidirectional path: the parent runs the recurrence
+            return x_proj, w_hh
+
+        if _lstm_use_pallas():
+            from ..ops.lstm_pallas import lstm_layer_pallas
+
+            hs = lstm_layer_pallas(x_proj, w_hh, reverse=self.reverse)
+            return jnp.swapaxes(hs, 0, 1)
 
         def step(carry, xp):
             h, c = carry
@@ -83,13 +112,25 @@ class BiLSTM(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = x
+        fused = self.bidirectional and _lstm_use_pallas()
         for layer in range(self.num_layers):
-            fwd = LSTMLayer(self.hidden_size, name=f"l{layer}_fwd")(h)
-            if self.bidirectional:
+            fwd_layer = LSTMLayer(self.hidden_size, name=f"l{layer}_fwd")
+            if fused:
+                # fused kernel: both directions advance in one sequential
+                # loop (ops/lstm_pallas.py bilstm_layer_pallas)
+                from ..ops.lstm_pallas import bilstm_layer_pallas
+
+                bwd_layer = LSTMLayer(self.hidden_size, reverse=True, name=f"l{layer}_bwd")
+                xp_fwd, w_fwd = fwd_layer(h, project_only=True)
+                xp_bwd, w_bwd = bwd_layer(h, project_only=True)
+                x_proj2 = jnp.stack([xp_fwd, jnp.flip(xp_bwd, axis=0)], axis=1)
+                h = jnp.swapaxes(bilstm_layer_pallas(x_proj2, w_fwd, w_bwd), 0, 1)
+            elif self.bidirectional:
+                fwd = fwd_layer(h)
                 bwd = LSTMLayer(self.hidden_size, reverse=True, name=f"l{layer}_bwd")(h)
                 h = jnp.concatenate([fwd, bwd], axis=-1)
             else:
-                h = fwd
+                h = fwd_layer(h)
             if layer < self.num_layers - 1 and self.dropout > 0:
                 h = nn.Dropout(self.dropout, deterministic=not train)(h)
         return h

@@ -1,0 +1,370 @@
+"""Pallas TPU kernel for the LSTM recurrence, with a custom VJP.
+
+The BiLSTM sequence heads dominate the training step (the conv stack is a
+handful of large MXU convs; the recurrence is T=192 sequential small matmuls
+per direction per layer).  The ``lax.scan`` formulation round-trips the
+carry and per-step output through HBM every iteration.  This kernel instead:
+
+- keeps ``h``/``c`` and the (H, 4H) recurrent weight resident in VMEM for the
+  entire sequence,
+- double-buffers async DMA of the precomputed input projections
+  ``x_proj[t] = x[t] @ W_ih + b`` (the big matmul stays outside, where XLA
+  tiles it onto the MXU in one shot),
+- runs the per-step ``h @ W_hh`` on the MXU and the gate pointwise math on
+  the VPU, double-buffering the output DMA back to HBM.
+
+Training support: ``pallas_call`` is not auto-differentiable, so the
+recurrence carries a custom VJP (guide: Patterns/Custom VJP).  The forward
+kernel emits both hidden and cell histories; the backward pass recomputes the
+gate activations for *all* steps in one batched matmul and runs a reverse
+``lax.scan`` for the carried (dc, dh) chain — the standard BPTT recurrence.
+
+Gate order is [i, f, g, o], matching models/sequence.py (torch layout).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests to run the kernel on CPU
+
+
+def pallas_lstm_available() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _lstm_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf, h, c,
+                 in_sems, hout_sems, cout_sems, *, T):
+    """Forward-order recurrence.
+
+    xp_ref: (T, B, 4H) HBM; whh_ref: (H, 4H) VMEM;
+    h_out_ref / c_out_ref: (T, B, H) HBM outputs.
+    """
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(xp_ref.at[i], xbuf.at[slot], in_sems.at[slot])
+
+    def h_dma(slot, i):
+        return pltpu.make_async_copy(hbuf.at[slot], h_out_ref.at[i], hout_sems.at[slot])
+
+    def c_dma(slot, i):
+        return pltpu.make_async_copy(cbuf.at[slot], c_out_ref.at[i], cout_sems.at[slot])
+
+    h[:] = jnp.zeros_like(h)
+    c[:] = jnp.zeros_like(c)
+    in_dma(0, 0).start()
+
+    def body(i, _):
+        slot = lax.rem(i, 2)
+        next_slot = lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < T)
+        def _():
+            in_dma(next_slot, i + 1).start()
+
+        in_dma(slot, i).wait()
+
+        gates = xbuf[slot] + jnp.dot(h[:], whh_ref[:], preferred_element_type=jnp.float32)
+        H = h.shape[-1]
+        gi = jax.nn.sigmoid(gates[:, :H])
+        gf = jax.nn.sigmoid(gates[:, H : 2 * H])
+        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+        go = jax.nn.sigmoid(gates[:, 3 * H :])
+        c[:] = gf * c[:] + gi * gg
+        h[:] = go * jnp.tanh(c[:])
+
+        # reclaim the output slots written two steps ago before overwriting
+        @pl.when(i >= 2)
+        def _():
+            h_dma(slot, i - 2).wait()
+            c_dma(slot, i - 2).wait()
+
+        hbuf[slot] = h[:]
+        cbuf[slot] = c[:]
+        h_dma(slot, i).start()
+        c_dma(slot, i).start()
+        return ()
+
+    lax.fori_loop(0, T, body, ())
+
+    @pl.when(T >= 2)
+    def _():
+        h_dma(lax.rem(T - 2, 2), T - 2).wait()
+        c_dma(lax.rem(T - 2, 2), T - 2).wait()
+
+    h_dma(lax.rem(T - 1, 2), T - 1).wait()
+    c_dma(lax.rem(T - 1, 2), T - 1).wait()
+
+
+def _forward_kernel_call(x_proj, w_hh):
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+    kernel = functools.partial(_lstm_kernel, T=T)
+    hs, cs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, H4), jnp.float32),
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((2, B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * B * H * H4,
+            bytes_accessed=(T * B * H4 + 2 * T * B * H + H * H4) * 4,
+            transcendentals=4 * T * B * H,
+        ),
+        interpret=_INTERPRET,
+    )(x_proj.astype(jnp.float32), w_hh.astype(jnp.float32))
+    return hs, cs
+
+
+@jax.custom_vjp
+def _lstm_recurrence(x_proj, w_hh):
+    hs, _ = _forward_kernel_call(x_proj, w_hh)
+    return hs
+
+
+def _lstm_fwd(x_proj, w_hh):
+    hs, cs = _forward_kernel_call(x_proj, w_hh)
+    return hs, (x_proj, w_hh, hs, cs)
+
+
+def _lstm_bwd_core(x_proj, w_hh, hs, cs, g):
+    """BPTT: batched gate recomputation + reverse scan for the carry chain."""
+    T, B, H = hs.shape
+    zeros = jnp.zeros((1, B, H), hs.dtype)
+    h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
+
+    # recompute all gate activations in one shot (MXU matmul over T·B rows)
+    gates = x_proj + jnp.einsum("tbh,hg->tbg", h_prev, w_hh)
+    gi = jax.nn.sigmoid(gates[..., :H])
+    gf = jax.nn.sigmoid(gates[..., H : 2 * H])
+    gg = jnp.tanh(gates[..., 2 * H : 3 * H])
+    go = jax.nn.sigmoid(gates[..., 3 * H :])
+    tanh_c = jnp.tanh(cs)
+
+    w_hh_T = w_hh.T  # (4H, H)
+
+    def step(carry, inp):
+        dc_next, dh_rec = carry
+        g_t, gi_t, gf_t, gg_t, go_t, tanh_c_t, c_prev_t = inp
+        dh = g_t + dh_rec
+        dc = dh * go_t * (1.0 - tanh_c_t**2) + dc_next
+        do = dh * tanh_c_t * go_t * (1.0 - go_t)
+        di = dc * gg_t * gi_t * (1.0 - gi_t)
+        df = dc * c_prev_t * gf_t * (1.0 - gf_t)
+        dgg = dc * gi_t * (1.0 - gg_t**2)
+        dgates = jnp.concatenate([di, df, dgg, do], axis=-1)
+        dh_rec_new = dgates @ w_hh_T
+        dc_prev = dc * gf_t
+        return (dc_prev, dh_rec_new), dgates
+
+    init = (jnp.zeros((B, H), hs.dtype), jnp.zeros((B, H), hs.dtype))
+    _, dgates = lax.scan(step, init, (g, gi, gf, gg, go, tanh_c, c_prev), reverse=True)
+
+    dx_proj = dgates
+    dw_hh = jnp.einsum("tbh,tbg->hg", h_prev, dgates)
+    return dx_proj, dw_hh
+
+
+def _lstm_bwd(residuals, g):
+    x_proj, w_hh, hs, cs = residuals
+    return _lstm_bwd_core(x_proj, w_hh, hs, cs, g)
+
+
+_lstm_recurrence.defvjp(_lstm_fwd, _lstm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused bidirectional kernel: both directions advance in the same sequential
+# loop (chain axis C=2), amortising the per-step DMA/loop overhead that
+# dominates at these sizes.  Chain 0 runs forward time order; chain 1 runs on
+# time-flipped inputs (classic BiLSTM trick), so one kernel serves both.
+# ---------------------------------------------------------------------------
+
+
+def _multichain_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf,
+                       h, c, in_sems, hout_sems, cout_sems, *, T, C):
+    """xp_ref: (T, C, B, 4H) HBM; whh_ref: (C, H, 4H) VMEM;
+    h_out_ref/c_out_ref: (T, C, B, H) HBM."""
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(xp_ref.at[i], xbuf.at[slot], in_sems.at[slot])
+
+    def h_dma(slot, i):
+        return pltpu.make_async_copy(hbuf.at[slot], h_out_ref.at[i], hout_sems.at[slot])
+
+    def c_dma(slot, i):
+        return pltpu.make_async_copy(cbuf.at[slot], c_out_ref.at[i], cout_sems.at[slot])
+
+    h[:] = jnp.zeros_like(h)
+    c[:] = jnp.zeros_like(c)
+    in_dma(0, 0).start()
+
+    def body(i, _):
+        slot = lax.rem(i, 2)
+        next_slot = lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < T)
+        def _():
+            in_dma(next_slot, i + 1).start()
+
+        in_dma(slot, i).wait()
+
+        H = h.shape[-1]
+        for k in range(C):  # static unroll over chains
+            gates = xbuf[slot, k] + jnp.dot(
+                h[k], whh_ref[k], preferred_element_type=jnp.float32
+            )
+            gi = jax.nn.sigmoid(gates[:, :H])
+            gf = jax.nn.sigmoid(gates[:, H : 2 * H])
+            gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+            go = jax.nn.sigmoid(gates[:, 3 * H :])
+            c[k] = gf * c[k] + gi * gg
+            h[k] = go * jnp.tanh(c[k])
+
+        @pl.when(i >= 2)
+        def _():
+            h_dma(slot, i - 2).wait()
+            c_dma(slot, i - 2).wait()
+
+        hbuf[slot] = h[:]
+        cbuf[slot] = c[:]
+        h_dma(slot, i).start()
+        c_dma(slot, i).start()
+        return ()
+
+    lax.fori_loop(0, T, body, ())
+
+    @pl.when(T >= 2)
+    def _():
+        h_dma(lax.rem(T - 2, 2), T - 2).wait()
+        c_dma(lax.rem(T - 2, 2), T - 2).wait()
+
+    h_dma(lax.rem(T - 1, 2), T - 1).wait()
+    c_dma(lax.rem(T - 1, 2), T - 1).wait()
+
+
+def _multichain_kernel_call(x_proj, w_hh):
+    """x_proj: (T, C, B, 4H); w_hh: (C, H, 4H) -> hs, cs (T, C, B, H)."""
+    T, C, B, H4 = x_proj.shape
+    H = H4 // 4
+    kernel = functools.partial(_multichain_kernel, T=T, C=C)
+    hs, cs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, B, H4), jnp.float32),
+            pltpu.VMEM((2, C, B, H), jnp.float32),
+            pltpu.VMEM((2, C, B, H), jnp.float32),
+            pltpu.VMEM((C, B, H), jnp.float32),
+            pltpu.VMEM((C, B, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * C * B * H * H4,
+            bytes_accessed=(T * C * B * H4 + 2 * T * C * B * H + C * H * H4) * 4,
+            transcendentals=4 * T * C * B * H,
+        ),
+        interpret=_INTERPRET,
+    )(x_proj.astype(jnp.float32), w_hh.astype(jnp.float32))
+    return hs, cs
+
+
+@jax.custom_vjp
+def _bilstm_recurrence(x_proj2, w_hh2):
+    hs, _ = _multichain_kernel_call(x_proj2, w_hh2)
+    return hs
+
+
+def _bilstm_fwd(x_proj2, w_hh2):
+    hs, cs = _multichain_kernel_call(x_proj2, w_hh2)
+    return hs, (x_proj2, w_hh2, hs, cs)
+
+
+def _bilstm_bwd(residuals, g):
+    x_proj2, w_hh2, hs, cs = residuals
+    # vmap the single-chain BPTT over the chain axis (time-major inside)
+    to_chain = lambda a: jnp.swapaxes(a, 0, 1)  # (T,C,...) -> (C,T,...)
+    dx, dw = jax.vmap(_lstm_bwd_core)(
+        to_chain(x_proj2), w_hh2, to_chain(hs), to_chain(cs), to_chain(g)
+    )
+    return jnp.swapaxes(dx, 0, 1), dw
+
+
+_bilstm_recurrence.defvjp(_bilstm_fwd, _bilstm_bwd)
+
+
+def bilstm_layer_pallas(
+    x_proj: jnp.ndarray, w_hh_fwd: jnp.ndarray, w_hh_bwd: jnp.ndarray
+) -> jnp.ndarray:
+    """Fused bidirectional recurrence.
+
+    Args:
+      x_proj: (T, 2, B, 4H) — chain 0: forward-direction input projections in
+        forward time order; chain 1: backward-direction projections, already
+        time-flipped.
+      w_hh_fwd / w_hh_bwd: (H, 4H) recurrent weights per direction.
+
+    Returns: (T, B, 2H) — [forward states, backward states (re-flipped)],
+    matching ``concat([fwd, flip(bwd)], -1)``.
+    """
+    w2 = jnp.stack([w_hh_fwd, w_hh_bwd], axis=0)
+    hs = _bilstm_recurrence(x_proj, w2)  # (T, 2, B, H)
+    fwd = hs[:, 0]
+    bwd = jnp.flip(hs[:, 1], axis=0)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
+    """Differentiable LSTM recurrence over precomputed input projections.
+
+    Args:
+      x_proj: (T, B, 4H) — ``x @ W_ih + b_ih + b_hh`` per step.
+      w_hh: (H, 4H) recurrent weights.
+      reverse: process time back-to-front (outputs stay time-aligned).
+
+    Returns: (T, B, H) hidden states.
+    """
+    if reverse:
+        return jnp.flip(_lstm_recurrence(jnp.flip(x_proj, axis=0), w_hh), axis=0)
+    return _lstm_recurrence(x_proj, w_hh)

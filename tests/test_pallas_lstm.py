@@ -1,0 +1,144 @@
+"""Pallas LSTM kernel tests (interpret mode on CPU): forward parity against
+the lax.scan reference and gradient parity for the custom VJP."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import pitchextractor_tpu.ops.lstm_pallas as m
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(m, "_INTERPRET", True)
+
+
+def _scan_reference(x_proj, w_hh):
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+
+    def step(carry, xp):
+        h, c = carry
+        gates = xp + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+    _, hs = lax.scan(step, init, x_proj)
+    return hs
+
+
+def _inputs(T=12, B=8, H=16, seed=0):
+    rng = np.random.default_rng(seed)
+    x_proj = jnp.asarray(rng.standard_normal((T, B, 4 * H)), jnp.float32)
+    w_hh = jnp.asarray(0.3 * rng.standard_normal((H, 4 * H)), jnp.float32)
+    return x_proj, w_hh
+
+
+def test_forward_matches_scan():
+    x_proj, w_hh = _inputs()
+    ours = m.lstm_layer_pallas(x_proj, w_hh)
+    ref = _scan_reference(x_proj, w_hh)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_reverse_direction():
+    x_proj, w_hh = _inputs()
+    ours = m.lstm_layer_pallas(x_proj, w_hh, reverse=True)
+    ref = jnp.flip(_scan_reference(jnp.flip(x_proj, 0), w_hh), 0)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_gradients_match_scan():
+    x_proj, w_hh = _inputs(T=8, B=4, H=8)
+
+    def loss_pallas(xp, w):
+        out = m.lstm_layer_pallas(xp, w)
+        return jnp.sum(jnp.sin(out) * out)
+
+    def loss_scan(xp, w):
+        out = _scan_reference(xp, w)
+        return jnp.sum(jnp.sin(out) * out)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(x_proj, w_hh)
+    gs = jax.grad(loss_scan, argnums=(0, 1))(x_proj, w_hh)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]), atol=1e-4)
+
+
+def test_gradients_reverse():
+    x_proj, w_hh = _inputs(T=6, B=4, H=8, seed=3)
+
+    def loss(xp, w, rev):
+        return jnp.sum(m.lstm_layer_pallas(xp, w, reverse=rev) ** 2)
+
+    def loss_ref(xp, w):
+        return jnp.sum(jnp.flip(_scan_reference(jnp.flip(xp, 0), w), 0) ** 2)
+
+    gp = jax.grad(loss, argnums=(0, 1))(x_proj, w_hh, True)
+    gs = jax.grad(loss_ref, argnums=(0, 1))(x_proj, w_hh)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]), atol=1e-4)
+
+
+def test_odd_t_single_step():
+    x_proj, w_hh = _inputs(T=1, B=4, H=8)
+    ours = m.lstm_layer_pallas(x_proj, w_hh)
+    ref = _scan_reference(x_proj, w_hh)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_bidirectional_matches_separate():
+    x_proj, w_fwd = _inputs(T=10, B=8, H=16, seed=5)
+    _, w_bwd = _inputs(T=10, B=8, H=16, seed=6)
+    x_proj2 = jnp.stack([x_proj, jnp.flip(x_proj, 0)], axis=1)
+    fused = m.bilstm_layer_pallas(x_proj2, w_fwd, w_bwd)  # (T, B, 2H)
+    ref_fwd = _scan_reference(x_proj, w_fwd)
+    ref_bwd = jnp.flip(_scan_reference(jnp.flip(x_proj, 0), w_bwd), 0)
+    ref = jnp.concatenate([ref_fwd, ref_bwd], axis=-1)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_bidirectional_gradients():
+    x_proj, w_fwd = _inputs(T=6, B=4, H=8, seed=7)
+    _, w_bwd = _inputs(T=6, B=4, H=8, seed=8)
+
+    def loss_fused(xp, wf, wb):
+        xp2 = jnp.stack([xp, jnp.flip(xp, 0)], axis=1)
+        return jnp.sum(m.bilstm_layer_pallas(xp2, wf, wb) ** 2)
+
+    def loss_ref(xp, wf, wb):
+        fwd = _scan_reference(xp, wf)
+        bwd = jnp.flip(_scan_reference(jnp.flip(xp, 0), wb), 0)
+        return jnp.sum(jnp.concatenate([fwd, bwd], -1) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x_proj, w_fwd, w_bwd)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x_proj, w_fwd, w_bwd)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_bilstm_module_fused_matches_scan(monkeypatch):
+    """The BiLSTM flax module must produce identical outputs whether the
+    fused pallas path or the lax.scan path runs (same params)."""
+    from pitchextractor_tpu.models.sequence import BiLSTM
+    import pitchextractor_tpu.models.sequence as seq
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 12, 24)), jnp.float32)
+    model = BiLSTM(hidden_size=16, num_layers=2, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: False)
+    ref = model.apply(variables, x)
+    monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: True)
+    fused = model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
