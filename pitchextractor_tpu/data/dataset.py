@@ -47,6 +47,53 @@ from .synthetic import HarmonicSynthesizer
 
 logger = logging.getLogger(__name__)
 
+
+class ThreadLocalRNG:
+    """Per-thread ``np.random.Generator`` facade.
+
+    numpy Generators are not thread-safe; the prefetching loader calls
+    ``__getitem__`` from worker threads concurrently.  Each thread gets its
+    own generator derived from (seed, thread ordinal) so streams are
+    independent and the dataset stays picklable (thread-local state is
+    rebuilt lazily on the other side).
+    """
+
+    _METHODS = ("random", "integers", "uniform", "normal", "choice", "shuffle", "standard_normal")
+
+    def __init__(self, seed: int):
+        self._seed = int(seed)
+        self._init_local()
+
+    def _init_local(self):
+        import itertools
+        import threading
+
+        self._local = threading.local()
+        self._counter = itertools.count()
+        self._lock = threading.Lock()
+
+    def _generator(self) -> np.random.Generator:
+        if not hasattr(self._local, "generator"):
+            with self._lock:
+                ordinal = next(self._counter)
+            self._local.generator = np.random.default_rng(
+                np.random.SeedSequence([self._seed, ordinal])
+            )
+        return self._local.generator
+
+    def __getattr__(self, name):
+        if name in self._METHODS:
+            return getattr(self._generator(), name)
+        raise AttributeError(name)
+
+    def __getstate__(self):
+        return {"_seed": self._seed}
+
+    def __setstate__(self, state):
+        self._seed = state["_seed"]
+        self._init_local()
+
+
 DEFAULT_MEL_PARAMS = {
     "sample_rate": 24000,
     "n_mels": 80,
@@ -70,7 +117,7 @@ class MelDataset:
         seed: int = 1,
     ) -> None:
         self.verbose = verbose
-        self.rng = np.random.default_rng(seed)
+        self.rng = ThreadLocalRNG(seed)
         self.data_list = parse_data_list(data_list)
 
         self.mel_params = normalize_mel_params(mel_params)
@@ -147,6 +194,53 @@ class MelDataset:
             print(
                 "[MelDataset] Synthetic data enabled: "
                 f"{{'count': {self._synthetic_count}, 'strategies': {self._synthetic_generators}}}"
+            )
+
+    # ------------------------------------------------------------------
+    # Multiprocessing support (reference meldataset.py:146-176): the mel
+    # front-end and F0 extractor hold jit caches that must not be pickled;
+    # drop and rebuild them on the other side.  The in-tree loader is
+    # thread-based so this is API parity for users who wrap the dataset in
+    # their own process pools.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_f0_extractor_init"] = {
+            "sr": self.sr,
+            "hop_length": self.mel_params["hop_length"],
+            "config": self.f0_params,
+            "verbose": self.verbose,
+        }
+        state.pop("f0_extractor", None)
+        state.pop("to_melspec", None)
+        state.pop("_synthesizer", None)
+        return state
+
+    def __setstate__(self, state):
+        extractor_init = state.pop("_f0_extractor_init")
+        self.__dict__.update(state)
+        self.to_melspec = MelSpectrogram(
+            sample_rate=self.sr,
+            n_fft=self.mel_params["n_fft"],
+            win_length=self.mel_params["win_length"],
+            hop_length=self.mel_params["hop_length"],
+            n_mels=self.mel_params["n_mels"],
+        )
+        self.f0_extractor = build_f0_extractor(**extractor_init)
+        self.f0_cache_suffix = f"_f0{self.f0_extractor.cache_identifier}.npy"
+        self.f0_meta_suffix = self.f0_cache_suffix.replace(".npy", ".json")
+        self.bad_F0 = int(
+            self.f0_params.get("bad_f0_threshold", self.f0_extractor.bad_f0_threshold)
+        )
+        self._synthesizer = None
+        if self.synthetic_enabled and "world_vocoder" in self._synthetic_generators:
+            world_cfg = self.synthetic_config.get("world_vocoder", {}) or {}
+            self._synthesizer = HarmonicSynthesizer(
+                sample_rate=self.sr,
+                hop_length=self.mel_params["hop_length"],
+                fft_size=self.mel_params.get("n_fft", 1024),
+                config=world_cfg,
+                verbose=self.verbose,
+                rng=self.rng,
             )
 
     # ------------------------------------------------------------------

@@ -30,6 +30,23 @@ from .base import BackendComputationError, BackendUnavailableError, BaseF0Backen
 from .trackers import TrackerParams, track_pitch, track_pitch_batch
 
 
+def _pad_to_bucket(waveform: np.ndarray, sr: int, bucket_seconds: float) -> np.ndarray:
+    """Zero-pad to the next multiple of ``bucket_seconds`` so arbitrary file
+    lengths map onto a small set of compiled tracker shapes (each distinct
+    shape is one XLA compilation; unbounded shape diversity would recompile
+    per file).  The caller trims the contour back to the true frame count."""
+    if bucket_seconds <= 0:
+        return waveform
+    bucket = max(int(bucket_seconds * sr), 1)
+    padded_len = ((waveform.shape[-1] + bucket - 1) // bucket) * bucket
+    if padded_len == waveform.shape[-1]:
+        return waveform
+    pad = padded_len - waveform.shape[-1]
+    if waveform.ndim == 1:
+        return np.pad(waveform, (0, pad))
+    return np.pad(waveform, ((0, 0), (0, pad)))
+
+
 class JaxACBackend(BaseF0Backend):
     """TPU-native autocorrelation/Viterbi tracker (the framework default)."""
 
@@ -38,6 +55,7 @@ class JaxACBackend(BaseF0Backend):
 
     def __init__(self, *args, **kwargs) -> None:
         super().__init__(*args, **kwargs)
+        self.bucket_seconds = self._coerce_float("bucket_seconds", 1.0)
         self.params = TrackerParams(
             min_pitch=self._coerce_float("min_pitch", 40.0),
             max_pitch=self._coerce_float("max_pitch", 1100.0),
@@ -58,10 +76,14 @@ class JaxACBackend(BaseF0Backend):
         waveform = np.asarray(audio, dtype=np.float32).reshape(-1)
         if waveform.size == 0:
             return np.zeros((0,), dtype=np.float64)
+        hop = self._hop_for(sr)
+        true_frames = 1 + waveform.shape[0] // hop
+        padded = _pad_to_bucket(waveform, sr, self.bucket_seconds)
         try:
-            f0 = track_pitch(waveform, sr, self._hop_for(sr), self.params)
+            f0 = track_pitch(padded, sr, hop, self.params)
         except Exception as exc:  # pragma: no cover - defensive
             raise BackendComputationError(f"jax_ac tracking failed: {exc}") from exc
+        f0 = f0[:true_frames]
         self.log(f"jax_ac analysed {f0.shape[0]} frames at sr={sr}.")
         return f0.astype(np.float64)
 
@@ -70,8 +92,11 @@ class JaxACBackend(BaseF0Backend):
         batch = np.asarray(audio, dtype=np.float32)
         if batch.ndim == 1:
             batch = batch[None, :]
-        out = track_pitch_batch(batch, sr, self._hop_for(sr), self.params)
-        return np.asarray(out, dtype=np.float64)
+        hop = self._hop_for(sr)
+        true_frames = 1 + batch.shape[1] // hop
+        padded = _pad_to_bucket(batch, sr, self.bucket_seconds)
+        out = track_pitch_batch(padded, sr, hop, self.params)
+        return np.asarray(out, dtype=np.float64)[:, :true_frames]
 
 
 class JaxYinBackend(BaseF0Backend):
@@ -89,6 +114,7 @@ class JaxYinBackend(BaseF0Backend):
         self.fmin = self._coerce_float("fmin", 40.0)
         self.fmax = self._coerce_float("fmax", 1100.0)
         self.threshold = self._coerce_float("threshold", 0.15)
+        self.bucket_seconds = self._coerce_float("bucket_seconds", 1.0)
 
     def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
         return self.compute_batch(np.asarray(audio).reshape(1, -1), sr)[0]
@@ -101,8 +127,10 @@ class JaxYinBackend(BaseF0Backend):
         batch = np.asarray(audio, dtype=np.float32)
         if batch.ndim == 1:
             batch = batch[None, :]
-        out = yin_batch(batch, sr, hop, self.fmin, self.fmax, self.threshold)
-        return np.asarray(out, dtype=np.float64)
+        true_frames = 1 + batch.shape[1] // hop
+        padded = _pad_to_bucket(batch, sr, self.bucket_seconds)
+        out = yin_batch(padded, sr, hop, self.fmin, self.fmax, self.threshold)
+        return np.asarray(out, dtype=np.float64)[:, :true_frames]
 
 
 class PyWorldBackend(BaseF0Backend):

@@ -119,7 +119,10 @@ class JDCNet(nn.Module):
         # (B, T, 2, 256)
 
         # ---------------- classifier path ----------------
-        classifier_in = pool.reshape((B, seq_len, -1))  # (B, T, 512)
+        # flatten channel-major to match the reference's permute(0,2,1,3)
+        # .view(B, T, 512) ordering (model.py:93) — required for checkpoint
+        # interop: NHWC (B,T,2,256) -> (B,T,256,2) -> (B,T,512)
+        classifier_in = jnp.swapaxes(pool, 2, 3).reshape((B, seq_len, -1))
         classifier_out = sequence_model_from_config(seq_cfg, name="sequence_classifier")(
             classifier_in, train=train
         )
@@ -139,7 +142,7 @@ class JDCNet(nn.Module):
         det = _leaky_relu(det, slope)
         det = nn.Dropout(0.5, deterministic=not train, name="detector_dropout")(det)
 
-        detector_in = det.reshape((B, seq_len, -1))  # (B, T, 512)
+        detector_in = jnp.swapaxes(det, 2, 3).reshape((B, seq_len, -1))  # (B, T, 512)
         detector_out = sequence_model_from_config(seq_cfg, name="sequence_detector")(
             detector_in, train=train
         )

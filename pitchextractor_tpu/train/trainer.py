@@ -250,13 +250,22 @@ class Trainer:
             return 0.0
         return float(self.schedule(max(self.steps - 1, 0)))
 
+    @staticmethod
+    def _progress(iterable, desc):
+        try:
+            from tqdm import tqdm
+
+            return tqdm(iterable, desc=desc, leave=False)
+        except ImportError:  # pragma: no cover
+            return iterable
+
     def _train_epoch(self) -> Dict[str, float]:
         """(reference trainer.py:254-265)"""
         self.epochs += 1
         train_losses = defaultdict(list)
         t0 = time.time()
         n_items = 0
-        for batch in self.train_dataloader:
+        for batch in self._progress(self.train_dataloader, "[train]"):
             losses = self.run(batch)
             n_items += batch[0].shape[0]
             for key, value in losses.items():
@@ -270,7 +279,7 @@ class Trainer:
     def _eval_epoch(self) -> Dict[str, float]:
         """(reference trainer.py:267-291)"""
         eval_losses = defaultdict(list)
-        for batch in self.val_dataloader:
+        for batch in self._progress(self.val_dataloader, "[eval]"):
             mels, f0s, sils = self._put_batch(batch)
             metrics = self._eval_step(
                 self.state.params, self.state.batch_stats, mels, f0s, sils
