@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _bench_train_step(batch_size=64, T=192, steps=20, warmup=3):
+def _bench_train_step(batch_size=64, T=192, steps=20, warmup=3, seq_cfg=None):
     import jax
 
     from pitchextractor_tpu.models import JDCNet
@@ -34,7 +34,8 @@ def _bench_train_step(batch_size=64, T=192, steps=20, warmup=3):
 
     model = JDCNet(
         num_class=1,
-        sequence_model_config={"model_type": "bilstm", "num_layers": 4, "dropout": 0.1},
+        sequence_model_config=seq_cfg
+        or {"model_type": "bilstm", "num_layers": 4, "dropout": 0.1},
     )
     tx, schedule = build_optimizer(
         {
@@ -111,11 +112,31 @@ def _bench_labeler(batch_size=64, seconds=2.4, steps=10, warmup=2):
 
 
 def main():
+    from pitchextractor_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     details = {}
     try:
         details.update(_bench_train_step())
     except Exception as exc:  # keep the contract: always print one line
         details["train_error"] = repr(exc)
+    if os.environ.get("PEX_BENCH_TRANSFORMER"):
+        try:
+            tf = _bench_train_step(
+                seq_cfg={
+                    "model_type": "transformer",
+                    "num_layers": 4,
+                    "dropout": 0.1,
+                    "nhead": 8,
+                    "dim_feedforward": 1536,
+                },
+            )
+            details["transformer_train_utt_per_sec_per_chip"] = tf[
+                "train_utt_per_sec_per_chip"
+            ]
+            details["transformer_train_step_ms"] = tf["train_step_ms"]
+        except Exception as exc:
+            details["transformer_error"] = repr(exc)
     try:
         details.update(_bench_labeler())
     except Exception as exc:

@@ -29,6 +29,9 @@ def main(config_path, max_steps):
 
 
 def run(config_path: str, max_steps=None) -> int:
+    from pitchextractor_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     raw = config_lib.load_config(config_path)
     config = config_lib.resolve(raw)
     log_dir = config["log_dir"]

@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import make_mesh, DATA_AXIS
+from ..parallel.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
+from ..parallel.sharding import infer_param_shardings, place_params
 from . import checkpoint as ckpt_lib
 from .losses import jdc_loss
 
@@ -104,20 +105,32 @@ class Trainer:
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         self._replicated = NamedSharding(self.mesh, P())
         self._rng = jax.random.PRNGKey(seed)
+        self._model_parallel = int(self.mesh.shape[MODEL_AXIS])
+        if self._model_parallel > 1:
+            # the Pallas recurrence kernel cannot be partitioned by the XLA
+            # sharding pass — fall back to the lax.scan path under TP
+            os.environ["PEX_DISABLE_PALLAS_LSTM"] = "1"
 
         # --- initialise model + optimizer state --------------------------
         dummy = jnp.zeros((2, self.max_mel_length, self.n_mels, 1), jnp.float32)
         variables = self.model.init(self._rng, dummy, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = self.tx.init(params)
+        # rule-based tensor-parallel shardings over the model axis (no-op
+        # replication on a 1-wide axis); optimizer moments inherit placement
+        # from the placed params through tx.init's zeros_like
+        self._param_shardings = infer_param_shardings(params, self.mesh)
+        params = place_params(params, self._param_shardings)
         put = partial(jax.device_put, device=self._replicated)
-        self.state = TrainState(
-            jax.tree_util.tree_map(put, params),
-            jax.tree_util.tree_map(put, batch_stats),
-            jax.tree_util.tree_map(put, opt_state),
-            initial_steps,
+        batch_stats = jax.tree_util.tree_map(put, batch_stats)
+        # moments inherit the params' sharding via zeros_like; scalar leaves
+        # (step counts) need explicit replication on multi-device meshes
+        opt_state = jax.tree_util.tree_map(
+            lambda x: put(x) if getattr(x, "ndim", 1) == 0 else x,
+            self.tx.init(params),
         )
+        self.state = TrainState(params, batch_stats, opt_state, initial_steps)
+        self.state.steps = put(self.state.steps)
         self._param_count = sum(
             int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params)
         )
@@ -182,19 +195,9 @@ class Trainer:
                 metrics = {"loss": loss, "f0": loss_f0, "sil": loss_sil}
                 return new_params, new_stats, new_opt_state, steps + 1, metrics
 
-        return jax.jit(
-            train_step,
-            in_shardings=(
-                self._replicated,
-                self._replicated,
-                self._replicated,
-                self._replicated,
-                self._batch_sharding,
-                self._batch_sharding,
-                self._batch_sharding,
-            ),
-            donate_argnums=(0, 1, 2, 3),
-        )
+        # shardings are inherited from the committed arguments (params carry
+        # their TP/replicated placement; batches are device_put on 'data')
+        return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
     def _build_eval_step(self):
         forward, lambda_f0 = self._apply_fn()
@@ -209,16 +212,7 @@ class Trainer:
                 loss, loss_f0, loss_sil = jdc_loss(f0_pred, sil_pred, f0, sil, lambda_f0)
                 return {"loss": loss, "f0": loss_f0, "sil": loss_sil}
 
-        return jax.jit(
-            eval_step,
-            in_shardings=(
-                self._replicated,
-                self._replicated,
-                self._batch_sharding,
-                self._batch_sharding,
-                self._batch_sharding,
-            ),
-        )
+        return jax.jit(eval_step)
 
     # ------------------------------------------------------------------
     def _put_batch(self, batch):
@@ -310,7 +304,7 @@ class Trainer:
         )
         put = partial(jax.device_put, device=self._replicated)
         self.state = TrainState(
-            jax.tree_util.tree_map(put, params),
+            place_params(params, self._param_shardings),
             jax.tree_util.tree_map(put, batch_stats),
             jax.tree_util.tree_map(put, opt_state),
             steps,
