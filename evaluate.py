@@ -25,7 +25,8 @@ import click
 @click.option("--config_path", default="./Configs/config.yml", type=str)
 @click.option("--suites", default="all", type=str, help="comma-separated suite names or 'all'")
 @click.option("--output_dir", default="notebooks/artifacts", type=str)
-def main(checkpoint, checkpoint_dir, config_path, suites, output_dir):
+@click.option("--eval_list", default=None, type=str, help="path|label list of real audio for the real_audio suite")
+def main(checkpoint, checkpoint_dir, config_path, suites, output_dir, eval_list):
     from pitchextractor_tpu import config as config_lib
     from pitchextractor_tpu.eval.suites import SUITES, run_all
     from pitchextractor_tpu.infer import F0Predictor, latest_checkpoint, load_model
@@ -47,7 +48,13 @@ def main(checkpoint, checkpoint_dir, config_path, suites, output_dir):
         unknown = set(selected) - set(SUITES)
         if unknown:
             raise SystemExit(f"Unknown suites: {sorted(unknown)}; available: {sorted(SUITES)}")
-    results = run_all(predictor, output_dir, suites=selected)
+    suite_config = {}
+    if eval_list:
+        suite_config["real_audio"] = {
+            "eval_list": eval_list,
+            "f0_params": (config.get("dataset_params", {}) or {}).get("f0_params"),
+        }
+    results = run_all(predictor, output_dir, suites=selected, config=suite_config)
     summary = {
         name: {
             "rows": len(rows),

@@ -290,6 +290,75 @@ def noise_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
     return rows
 
 
+def real_audio_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
+    """Degradation sweep over *real* audio from an eval list.
+
+    Mirrors the reference codec/room notebooks' design (SURVEY.md §2.13):
+    the reference contour is the training labeler cascade run on the clean
+    audio (model-vs-labeler consistency under degradation, not absolute
+    truth), then each degradation is applied and re-predicted.
+    """
+    config = config or {}
+    eval_list = config.get("eval_list")
+    if not eval_list or not os.path.exists(str(eval_list)):
+        return [{"suite": "real_audio", "skipped": f"eval_list not found: {eval_list}"}]
+
+    from ..config import parse_data_list
+    from ..dsp.resample import resample_np as _resample
+    from ..io import read_audio
+    from ..io.audio import AudioDecodeError
+    from ..labels import build_f0_extractor
+
+    sr = predictor.sample_rate
+    hop = predictor.mel_params["hop_length"]
+    max_files = int(config.get("max_files", 20))
+    f0_params = config.get("f0_params") or {}
+    extractor = build_f0_extractor(sr, hop, config=f0_params, verbose=False)
+
+    with open(str(eval_list), "r", encoding="utf-8") as fh:
+        paths = parse_data_list(fh.readlines())[:max_files]
+
+    snrs = config.get("snr_db", [20, 10])
+    t60s = config.get("t60_grid", [0.3])
+    rates = config.get("resample_rates", [8000, 16000])
+
+    rows: List[Dict] = []
+    agg: Dict[str, List[Dict]] = {}
+    for path in paths:
+        try:
+            wave, wsr = read_audio(path)
+        except (AudioDecodeError, OSError):
+            continue
+        if wave.ndim > 1:
+            wave = np.mean(wave, axis=-1)
+        wave = wave.astype(np.float32)
+        if wsr != sr:
+            wave = _resample(wave, wsr, sr)
+        try:
+            reference = extractor.compute(wave, sr).f0.astype(np.float32)
+        except Exception:
+            continue
+        conditions = [("clean", wave)]
+        for snr in snrs:
+            conditions.append((f"noise_snr{snr}", add_noise_snr(wave, float(snr))))
+        for t60 in t60s:
+            conditions.append((f"rir_t60_{t60}", apply_rir(wave, synthesize_rir(sr, float(t60)))))
+        for rate in rates:
+            rt = resample_np(resample_np(wave, sr, int(rate)), int(rate), sr)[: len(wave)]
+            conditions.append((f"roundtrip_{rate}", rt))
+        for name, degraded in conditions:
+            pred = predictor.predict_f0(degraded)
+            ref = extractor.align_length(reference, pred.shape[0])
+            agg.setdefault(name, []).append(compute_metrics(ref, pred))
+    for name, metric_rows in agg.items():
+        row: Dict = {"suite": "real_audio", "condition": name, "files": len(metric_rows)}
+        for key in ("RPA", "RCA", "VUV", "OctaveError"):
+            vals = [m[key] for m in metric_rows if not np.isnan(m[key])]
+            row[key] = float(np.mean(vals)) if vals else float("nan")
+        rows.append(row)
+    return rows
+
+
 SUITES = {
     "dynamic_pitch": dynamic_pitch_suite,
     "amplitude": amplitude_suite,
@@ -297,15 +366,26 @@ SUITES = {
     "room_mic": room_mic_suite,
     "pitch_range_timbre": pitch_range_timbre_suite,
     "noise": noise_suite,
+    "real_audio": real_audio_suite,
 }
 
 
 def run_all(predictor, output_dir: str, suites=None, config: Optional[Dict] = None):
-    """Run suites and write one CSV each (notebook artifact contract)."""
+    """Run suites and write one CSV each (notebook artifact contract).
+
+    ``real_audio`` only runs when explicitly selected or configured with an
+    eval list (all other suites use analytic stimuli).
+    """
     os.makedirs(output_dir, exist_ok=True)
     config = config or {}
+    if suites is None:
+        suites = [
+            name
+            for name in SUITES
+            if name != "real_audio" or (config.get("real_audio") or {}).get("eval_list")
+        ]
     results = {}
-    for name in suites or SUITES:
+    for name in suites:
         rows = SUITES[name](predictor, config.get(name))
         results[name] = rows
         _write_csv(os.path.join(output_dir, f"{name}_metrics.csv"), rows)
