@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .init import kaiming_uniform, xavier_normal, zeros
-from .sequence import sequence_model_from_config
+from .sequence import _lstm_use_pallas, sequence_model_from_config
 
 
 def _leaky_relu(x, slope):
@@ -97,11 +97,51 @@ class JDCNet(nn.Module):
     leaky_relu_slope: float = 0.01
     sequence_model_config: Optional[Dict[str, Any]] = None
 
+    def setup(self):
+        # setup-defined heads so the fused cross-head recurrence can reach
+        # the individual LSTM layers of both (names stay
+        # sequence_classifier / sequence_detector for checkpoint interop)
+        self.sequence_classifier = sequence_model_from_config(self.sequence_model_config)
+        self.sequence_detector = sequence_model_from_config(self.sequence_model_config)
+
+    def _fused_heads(self, x_clf, x_det, train: bool):
+        """Run both heads' BiLSTM stacks through one multichain Pallas kernel
+        per layer (4 chains: clf-fwd, clf-bwd, det-fwd, det-bwd) — amortises
+        the sequential per-step overhead across all four recurrences."""
+        from ..ops.lstm_pallas import multichain_lstm_pallas
+
+        clf = self.sequence_classifier
+        det = self.sequence_detector
+        h_c, h_d = x_clf, x_det
+        L = clf.num_layers
+        lstm_dropout = clf.dropout if L > 1 else 0.0
+        for k in range(L):
+            cf, cb = clf.bilstm.layer_pair(k)
+            df, db = det.bilstm.layer_pair(k)
+            xp_cf, w_cf = cf(h_c, project_only=True)
+            xp_cb, w_cb = cb(h_c, project_only=True)
+            xp_df, w_df = df(h_d, project_only=True)
+            xp_db, w_db = db(h_d, project_only=True)
+            xp4 = jnp.stack(
+                [xp_cf, jnp.flip(xp_cb, axis=0), xp_df, jnp.flip(xp_db, axis=0)], axis=1
+            )  # (T, 4, B, 4H)
+            w4 = jnp.stack([w_cf, w_cb, w_df, w_db], axis=0)
+            hs = multichain_lstm_pallas(xp4, w4)  # (T, 4, B, H)
+            h_c = jnp.swapaxes(
+                jnp.concatenate([hs[:, 0], jnp.flip(hs[:, 1], axis=0)], axis=-1), 0, 1
+            )
+            h_d = jnp.swapaxes(
+                jnp.concatenate([hs[:, 2], jnp.flip(hs[:, 3], axis=0)], axis=-1), 0, 1
+            )
+            if k < L - 1 and lstm_dropout > 0:
+                h_c = clf.bilstm.inter_dropout(h_c, deterministic=not train)
+                h_d = det.bilstm.inter_dropout(h_d, deterministic=not train)
+        return h_c, h_d
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, T, n_mels, 1) NHWC -> ((B, T, num_class), (B, T))."""
         slope = self.leaky_relu_slope
-        seq_cfg = dict(self.sequence_model_config or {})
         seq_len = x.shape[1]
         B = x.shape[0]
 
@@ -118,20 +158,13 @@ class JDCNet(nn.Module):
         pool = nn.Dropout(0.5, deterministic=not train, name="pool_dropout")(pool)
         # (B, T, 2, 256)
 
-        # ---------------- classifier path ----------------
+        # ---------------- sequence-head inputs ----------------
         # flatten channel-major to match the reference's permute(0,2,1,3)
         # .view(B, T, 512) ordering (model.py:93) — required for checkpoint
         # interop: NHWC (B,T,2,256) -> (B,T,256,2) -> (B,T,512)
         classifier_in = jnp.swapaxes(pool, 2, 3).reshape((B, seq_len, -1))
-        classifier_out = sequence_model_from_config(seq_cfg, name="sequence_classifier")(
-            classifier_in, train=train
-        )
-        f0_pred = nn.Dense(
-            self.num_class, kernel_init=kaiming_uniform, bias_init=zeros, name="classifier"
-        )(classifier_out)  # (B, T, num_class)
 
-        # ---------------- detector path ----------------
-        # auxiliary maxpools collapse frequency to 2 for the skip concat
+        # auxiliary maxpools collapse frequency to 2 for the detector skip concat
         mp1 = nn.max_pool(convblock_out, window_shape=(1, 40), strides=(1, 40))
         mp2 = nn.max_pool(res1, window_shape=(1, 20), strides=(1, 20))
         mp3 = nn.max_pool(res2, window_shape=(1, 10), strides=(1, 10))
@@ -141,11 +174,24 @@ class JDCNet(nn.Module):
         det = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="detector_bn")(det)
         det = _leaky_relu(det, slope)
         det = nn.Dropout(0.5, deterministic=not train, name="detector_dropout")(det)
-
         detector_in = jnp.swapaxes(det, 2, 3).reshape((B, seq_len, -1))  # (B, T, 512)
-        detector_out = sequence_model_from_config(seq_cfg, name="sequence_detector")(
-            detector_in, train=train
+
+        # ---------------- sequence heads ----------------
+        clf = self.sequence_classifier
+        fused4 = (
+            _lstm_use_pallas()
+            and clf.model_type.lower() == "bilstm"
+            and clf.bidirectional
         )
+        if fused4:
+            classifier_out, detector_out = self._fused_heads(classifier_in, detector_in, train)
+        else:
+            classifier_out = clf(classifier_in, train=train)
+            detector_out = self.sequence_detector(detector_in, train=train)
+
+        f0_pred = nn.Dense(
+            self.num_class, kernel_init=kaiming_uniform, bias_init=zeros, name="classifier"
+        )(classifier_out)  # (B, T, num_class)
         detector_logits = nn.Dense(
             2, kernel_init=kaiming_uniform, bias_init=zeros, name="detector"
         )(detector_out)  # (B, T, 2)

@@ -102,37 +102,52 @@ class LSTMLayer(nn.Module):
 
 
 class BiLSTM(nn.Module):
-    """Stacked (bi)directional LSTM (reference model.py:218-228)."""
+    """Stacked (bi)directional LSTM (reference model.py:218-228).
+
+    Layers are setup-defined attributes (``l{k}_fwd`` / ``l{k}_bwd``) so a
+    parent module can reach individual layers for cross-head kernel fusion
+    (models/jdc.py) while the parameter tree stays identical to the compact
+    formulation (and to the torch checkpoint converter's mapping).
+    """
 
     hidden_size: int = 384
     num_layers: int = 2
     dropout: float = 0.3
     bidirectional: bool = True
 
-    @nn.compact
+    def setup(self):
+        for k in range(self.num_layers):
+            setattr(self, f"l{k}_fwd", LSTMLayer(self.hidden_size))
+            if self.bidirectional:
+                setattr(self, f"l{k}_bwd", LSTMLayer(self.hidden_size, reverse=True))
+        self.inter_dropout = nn.Dropout(self.dropout)
+
+    def layer_pair(self, k: int):
+        return getattr(self, f"l{k}_fwd"), getattr(self, f"l{k}_bwd")
+
     def __call__(self, x, train: bool = False):
         h = x
         fused = self.bidirectional and _lstm_use_pallas()
         for layer in range(self.num_layers):
-            fwd_layer = LSTMLayer(self.hidden_size, name=f"l{layer}_fwd")
+            fwd_layer = getattr(self, f"l{layer}_fwd")
             if fused:
                 # fused kernel: both directions advance in one sequential
                 # loop (ops/lstm_pallas.py bilstm_layer_pallas)
                 from ..ops.lstm_pallas import bilstm_layer_pallas
 
-                bwd_layer = LSTMLayer(self.hidden_size, reverse=True, name=f"l{layer}_bwd")
+                bwd_layer = getattr(self, f"l{layer}_bwd")
                 xp_fwd, w_fwd = fwd_layer(h, project_only=True)
                 xp_bwd, w_bwd = bwd_layer(h, project_only=True)
                 x_proj2 = jnp.stack([xp_fwd, jnp.flip(xp_bwd, axis=0)], axis=1)
                 h = jnp.swapaxes(bilstm_layer_pallas(x_proj2, w_fwd, w_bwd), 0, 1)
             elif self.bidirectional:
                 fwd = fwd_layer(h)
-                bwd = LSTMLayer(self.hidden_size, reverse=True, name=f"l{layer}_bwd")(h)
+                bwd = getattr(self, f"l{layer}_bwd")(h)
                 h = jnp.concatenate([fwd, bwd], axis=-1)
             else:
                 h = fwd_layer(h)
             if layer < self.num_layers - 1 and self.dropout > 0:
-                h = nn.Dropout(self.dropout, deterministic=not train)(h)
+                h = self.inter_dropout(h, deterministic=not train)
         return h
 
     @property
@@ -235,30 +250,33 @@ class SequenceModel(nn.Module):
     dim_feedforward: int = 1024
     max_len: int = 2000
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
         kind = self.model_type.lower()
         if kind == "bilstm":
             # torch nn.LSTM applies inter-layer dropout only when num_layers>1
             lstm_dropout = self.dropout if self.num_layers > 1 else 0.0
-            return BiLSTM(
+            self.bilstm = BiLSTM(
                 hidden_size=self.hidden_size,
                 num_layers=self.num_layers,
                 dropout=lstm_dropout,
                 bidirectional=self.bidirectional,
-                name="bilstm",
-            )(x, train=train)
-        if kind == "transformer":
-            return TransformerEncoder(
+            )
+        elif kind == "transformer":
+            self.transformer = TransformerEncoder(
                 d_model=self.input_size,
                 num_layers=self.num_layers,
                 nhead=self.nhead,
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
                 max_len=self.max_len,
-                name="transformer",
-            )(x, train=train)
-        raise ValueError(f"Unsupported sequence model type: {self.model_type}")
+            )
+        else:
+            raise ValueError(f"Unsupported sequence model type: {self.model_type}")
+
+    def __call__(self, x, train: bool = False):
+        if self.model_type.lower() == "bilstm":
+            return self.bilstm(x, train=train)
+        return self.transformer(x, train=train)
 
     @property
     def output_dim(self) -> int:
@@ -267,8 +285,12 @@ class SequenceModel(nn.Module):
         return self.input_size
 
 
-def sequence_model_from_config(config: Optional[dict], name: str) -> SequenceModel:
-    """Build a SequenceModel from the YAML ``sequence_model`` mapping."""
+def sequence_model_from_config(config: Optional[dict], name: Optional[str] = None) -> SequenceModel:
+    """Build a SequenceModel from the YAML ``sequence_model`` mapping.
+
+    ``name=None`` for setup-attribute naming (the attribute name becomes the
+    module name); pass an explicit name only from compact contexts.
+    """
     cfg = dict(config or {})
     cfg.setdefault("input_size", 512)
     known = {
@@ -283,4 +305,6 @@ def sequence_model_from_config(config: Optional[dict], name: str) -> SequenceMod
         "max_len",
     }
     cfg = {k: v for k, v in cfg.items() if k in known}
-    return SequenceModel(name=name, **cfg)
+    if name is not None:
+        return SequenceModel(name=name, **cfg)
+    return SequenceModel(**cfg)

@@ -368,3 +368,13 @@ def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, reverse: bool = Fa
     if reverse:
         return jnp.flip(_lstm_recurrence(jnp.flip(x_proj, axis=0), w_hh), axis=0)
     return _lstm_recurrence(x_proj, w_hh)
+
+
+def multichain_lstm_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
+    """Generic C-chain fused recurrence: (T, C, B, 4H) x (C, H, 4H) -> (T, C, B, H).
+
+    Chains are independent LSTMs advanced in the same sequential loop — used
+    for direction fusion (C=2) and cross-head fusion (C=4, models/jdc.py).
+    Time-flipped chains must be flipped by the caller before and after.
+    """
+    return _bilstm_recurrence(x_proj, w_hh)

@@ -142,3 +142,54 @@ def test_bilstm_module_fused_matches_scan(monkeypatch):
     monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: True)
     fused = model.apply(variables, x)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+def test_jdcnet_fused4_matches_unfused(monkeypatch):
+    """JDCNet output must be identical whether heads run fused (C=4 kernel)
+    or separately (same params, eval mode)."""
+    import pitchextractor_tpu.models.sequence as seq
+    import pitchextractor_tpu.models.jdc as jdc_mod
+    from pitchextractor_tpu.models import JDCNet
+
+    model = JDCNet(
+        num_class=1,
+        sequence_model_config={"model_type": "bilstm", "num_layers": 2, "hidden_size": 16, "dropout": 0.0},
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 12, 80, 1)), jnp.float32)
+
+    monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: False)
+    monkeypatch.setattr(jdc_mod, "_lstm_use_pallas", lambda: False)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref_f0, ref_v = model.apply(variables, x, train=False)
+
+    monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: True)
+    monkeypatch.setattr(jdc_mod, "_lstm_use_pallas", lambda: True)
+    fused_f0, fused_v = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(fused_f0), np.asarray(ref_f0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused_v), np.asarray(ref_v), atol=1e-5)
+
+
+def test_jdcnet_fused4_gradients(monkeypatch):
+    import pitchextractor_tpu.models.sequence as seq
+    import pitchextractor_tpu.models.jdc as jdc_mod
+    from pitchextractor_tpu.models import JDCNet
+
+    model = JDCNet(
+        num_class=1,
+        sequence_model_config={"model_type": "bilstm", "num_layers": 1, "hidden_size": 8, "dropout": 0.0},
+    )
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 8, 80, 1)), jnp.float32)
+    monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: False)
+    monkeypatch.setattr(jdc_mod, "_lstm_use_pallas", lambda: False)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params, fused):
+        monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: fused)
+        monkeypatch.setattr(jdc_mod, "_lstm_use_pallas", lambda: fused)
+        f0, v = model.apply({"params": params, "batch_stats": variables["batch_stats"]}, x, train=False)
+        return jnp.mean(f0**2) + jnp.mean(v**2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(variables["params"])
+    g_fused = jax.grad(lambda p: loss(p, True))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
