@@ -156,3 +156,35 @@ def test_run_all_writes_csvs(tmp_path):
     results = run_all(_OraclePredictor(), str(tmp_path), suites=["dynamic_pitch"], config=cfg)
     assert (tmp_path / "dynamic_pitch_metrics.csv").is_file()
     assert len(results["dynamic_pitch"]) == 2
+
+
+def test_eval_labeling_helpers(tmp_path):
+    from pitchextractor_tpu.eval.labeling import (
+        build_eval_f0_extractor,
+        compute_f0_for_eval,
+        ensure_mono,
+        load_training_config,
+        resample_audio,
+        resolve_dataset_params,
+    )
+
+    assert load_training_config(None) == {}
+    assert load_training_config(str(tmp_path / "missing.yml")) == {}
+    cfg_path = tmp_path / "c.yml"
+    cfg_path.write_text("dataset_params:\n  mel_params:\n    sample_rate: 24000\n  f0_params:\n    bad_f0_threshold: 5\n")
+    cfg = load_training_config(str(cfg_path))
+    mel_params, f0_params = resolve_dataset_params(cfg)
+    assert mel_params["sample_rate"] == 24000 and f0_params["bad_f0_threshold"] == 5
+
+    stereo = np.ones((10, 2))
+    assert ensure_mono(stereo).shape == (10,)
+    x = np.sin(2 * np.pi * 220 * np.arange(48000) / 48000).astype(np.float32)
+    assert abs(len(resample_audio(x, 48000, 24000)) - 24000) <= 1
+
+    extractor = build_eval_f0_extractor(mel_params, f0_params, fallback_sr=24000, fallback_hop=300)
+    tone = (0.5 * np.sin(2 * np.pi * 220 * np.arange(24000) / 24000)).astype(np.float32)
+    result = compute_f0_for_eval(tone, 24000, extractor, target_frames=81)
+    assert result.f0.shape == (81,)
+    assert result.backend_name == "jax_ac"
+    voiced = result.f0[result.f0 > 0]
+    assert np.median(np.abs(1200 * np.log2(voiced / 220.0))) < 20
