@@ -98,6 +98,7 @@ class F0Predictor:
         chunk_size: int = 192,
         overlap: int = 48,
         voicing_threshold_hz: float = 10.0,
+        bucket_seconds: float = 1.0,
     ) -> None:
         from ..config import normalize_mel_params
 
@@ -109,6 +110,10 @@ class F0Predictor:
         self.chunk_size = int(chunk_size)
         self.overlap = int(overlap)
         self.voicing_threshold_hz = float(voicing_threshold_hz)
+        # arbitrary input lengths are zero-padded to this bucket so the
+        # jitted graph compiles for a bounded set of shapes; the contour is
+        # trimmed back to the true frame count
+        self.bucket_seconds = float(bucket_seconds)
 
     @property
     def sample_rate(self) -> int:
@@ -122,6 +127,13 @@ class F0Predictor:
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         if sr is not None and sr != self.sample_rate:
             audio = resample_np(audio, sr, self.sample_rate)
+        hop = self.mel_params["hop_length"]
+        true_frames = 1 + len(audio) // hop
+        if self.bucket_seconds > 0:
+            bucket = max(int(self.bucket_seconds * self.sample_rate), 1)
+            padded_len = ((len(audio) + bucket - 1) // bucket) * bucket
+            if padded_len > len(audio):
+                audio = np.pad(audio, (0, padded_len - len(audio)))
         f0_chunks, voicing_chunks, total = _predict_graph(
             self.model.apply,
             self.variables,
@@ -136,7 +148,7 @@ class F0Predictor:
             self.mean,
             self.std,
         )
-        return np.asarray(f0_chunks), np.asarray(voicing_chunks), int(total)
+        return np.asarray(f0_chunks), np.asarray(voicing_chunks), min(int(total), true_frames)
 
     def predict_f0(
         self,
