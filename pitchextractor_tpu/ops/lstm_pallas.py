@@ -349,10 +349,21 @@ def bilstm_layer_pallas(
     matching ``concat([fwd, flip(bwd)], -1)``.
     """
     w2 = jnp.stack([w_hh_fwd, w_hh_bwd], axis=0)
+    x_proj, B = _pad_batch(x_proj)
     hs = _bilstm_recurrence(x_proj, w2)  # (T, 2, B, H)
-    fwd = hs[:, 0]
-    bwd = jnp.flip(hs[:, 1], axis=0)
+    fwd = hs[:, 0, :B]
+    bwd = jnp.flip(hs[:, 1, :B], axis=0)
     return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def _pad_batch(x_proj: jnp.ndarray, align: int = 8):
+    """Pad the batch axis (second-to-last) to the f32 sublane tiling."""
+    B = x_proj.shape[-2]
+    padded = ((B + align - 1) // align) * align
+    if padded == B:
+        return x_proj, B
+    widths = [(0, 0)] * (x_proj.ndim - 2) + [(0, padded - B), (0, 0)]
+    return jnp.pad(x_proj, widths), B
 
 
 def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
@@ -365,9 +376,12 @@ def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, reverse: bool = Fa
 
     Returns: (T, B, H) hidden states.
     """
+    x_proj, B = _pad_batch(x_proj)
     if reverse:
-        return jnp.flip(_lstm_recurrence(jnp.flip(x_proj, axis=0), w_hh), axis=0)
-    return _lstm_recurrence(x_proj, w_hh)
+        out = jnp.flip(_lstm_recurrence(jnp.flip(x_proj, axis=0), w_hh), axis=0)
+    else:
+        out = _lstm_recurrence(x_proj, w_hh)
+    return out[:, :B]
 
 
 def multichain_lstm_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
@@ -377,4 +391,5 @@ def multichain_lstm_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarra
     for direction fusion (C=2) and cross-head fusion (C=4, models/jdc.py).
     Time-flipped chains must be flipped by the caller before and after.
     """
-    return _bilstm_recurrence(x_proj, w_hh)
+    x_proj, B = _pad_batch(x_proj)
+    return _bilstm_recurrence(x_proj, w_hh)[:, :, :B]
