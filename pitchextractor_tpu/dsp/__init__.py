@@ -1,4 +1,5 @@
 from .mel import (
+    mel_spectrogram_gemm,
     MelSpectrogram,
     hann_window,
     mel_filterbank,
@@ -18,6 +19,7 @@ __all__ = [
     "hann_window",
     "mel_filterbank",
     "mel_spectrogram_jax",
+    "mel_spectrogram_gemm",
     "mel_spectrogram_np",
     "log_normalize",
     "log_normalize_np",

@@ -118,6 +118,70 @@ def mel_spectrogram_jax(
     return jnp.einsum("fm,...ft->...mt", fb, magnitude)
 
 
+@functools.lru_cache(maxsize=8)
+def _gemm_dft_matrices(n_fft: int, win_length: int):
+    """Window-folded real-DFT matrices for the GEMM-native front-end.
+
+    The periodic-Hann analysis window is folded into the DFT bases, so the
+    whole spectrogram is ``frames @ [Wcos | Wsin]`` — one MXU matmul
+    (GEMM-native NDFT; the MelT recipe for accelerator audio front-ends).
+    """
+    from .stft import _padded_window_np
+
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    angle = -2.0 * np.pi * n * k / n_fft
+    window = _padded_window_np(n_fft, win_length)[:, None]
+    wcos = (np.cos(angle) * window).astype(np.float32)
+    wsin = (np.sin(angle) * window).astype(np.float32)
+    return wcos, wsin
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample_rate", "n_fft", "win_length", "hop_length", "n_mels"),
+)
+def mel_spectrogram_gemm(
+    waveform: jnp.ndarray,
+    sample_rate: int,
+    n_fft: int,
+    win_length: int,
+    hop_length: int,
+    n_mels: int,
+) -> jnp.ndarray:
+    """GEMM-native mel front-end: frame gather -> windowed-DFT matmul ->
+    power -> mel matmul.  Numerically equivalent to ``mel_spectrogram_jax``
+    (power=2.0), but expressed as two large matmuls that tile directly onto
+    the MXU instead of an rfft lowering.
+    """
+    from jax import lax
+
+    x = jnp.asarray(waveform)
+    batch_shape = x.shape[:-1]
+    x = x.reshape((-1, x.shape[-1])).astype(jnp.float32)
+
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    if x.shape[-1] < n_fft:
+        x = jnp.pad(x, ((0, 0), (0, n_fft - x.shape[-1])))
+    patches = lax.conv_general_dilated_patches(
+        x[:, None, :], filter_shape=(n_fft,), window_strides=(hop_length,), padding="VALID"
+    )  # (B, n_fft, frames)
+    frames = jnp.swapaxes(patches, 1, 2)  # (B, frames, n_fft)
+
+    wcos_np, wsin_np = _gemm_dft_matrices(n_fft, win_length)
+    wcos = jnp.asarray(wcos_np)
+    wsin = jnp.asarray(wsin_np)
+    re = frames @ wcos  # (B, frames, n_freqs)
+    im = frames @ wsin
+    power = re * re + im * im
+
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, dtype=np.float32))
+    mel = power @ fb  # (B, frames, n_mels)
+    mel = jnp.swapaxes(mel, 1, 2)  # (B, n_mels, frames)
+    return mel.reshape(batch_shape + mel.shape[1:])
+
+
 def log_normalize(mel: jnp.ndarray, mean: float = MEL_MEAN, std: float = MEL_STD) -> jnp.ndarray:
     """``(log(1e-5 + mel) - mean) / std`` (reference meldataset.py:650)."""
     return (jnp.log(MEL_LOG_OFFSET + mel) - mean) / std

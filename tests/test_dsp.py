@@ -149,3 +149,23 @@ def test_resample_jax_matches_np():
 def test_resample_identity():
     x = _signal()
     np.testing.assert_array_equal(resample_np(x, 24000, 24000), x)
+
+
+def test_mel_gemm_matches_rfft_path():
+    from pitchextractor_tpu.dsp import mel_spectrogram_gemm
+
+    x = _signal()
+    ref = mel_spectrogram_np(x, 24000, 1024, 1024, 300, 80)
+    gemm = np.asarray(mel_spectrogram_gemm(jnp.asarray(x), 24000, 1024, 1024, 300, 80))
+    assert gemm.shape == ref.shape
+    scale = np.maximum(ref, 1e-4)
+    np.testing.assert_allclose(gemm / scale, ref / scale, atol=2e-3)
+
+
+def test_mel_gemm_batched():
+    from pitchextractor_tpu.dsp import mel_spectrogram_gemm
+
+    x = np.stack([_signal(seed=0), _signal(seed=1)])
+    out = np.asarray(mel_spectrogram_gemm(jnp.asarray(x), 24000, 1024, 1024, 300, 80))
+    single = np.asarray(mel_spectrogram_gemm(jnp.asarray(x[1]), 24000, 1024, 1024, 300, 80))
+    np.testing.assert_allclose(out[1], single, rtol=1e-4, atol=1e-4)
