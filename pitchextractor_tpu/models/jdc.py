@@ -178,8 +178,15 @@ class JDCNet(nn.Module):
 
         # ---------------- sequence heads ----------------
         clf = self.sequence_classifier
+        # Cross-head fusion (C=4) measured *slower* than per-head direction
+        # fusion (C=2) on v5e: the stacked recurrent weights (4·H·4H f32 ≈
+        # 9.4 MB) plus double-buffered IO push VMEM to its ~16 MB limit.
+        # Opt-in via PEX_FUSED4_LSTM for wider-VMEM parts.
+        import os
+
         fused4 = (
-            _lstm_use_pallas()
+            bool(os.environ.get("PEX_FUSED4_LSTM"))
+            and _lstm_use_pallas()
             and clf.model_type.lower() == "bilstm"
             and clf.bidirectional
         )

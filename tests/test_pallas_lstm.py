@@ -149,6 +149,8 @@ def test_jdcnet_fused4_matches_unfused(monkeypatch):
     or separately (same params, eval mode)."""
     import pitchextractor_tpu.models.sequence as seq
     import pitchextractor_tpu.models.jdc as jdc_mod
+
+    monkeypatch.setenv("PEX_FUSED4_LSTM", "1")
     from pitchextractor_tpu.models import JDCNet
 
     model = JDCNet(
@@ -172,6 +174,8 @@ def test_jdcnet_fused4_matches_unfused(monkeypatch):
 def test_jdcnet_fused4_gradients(monkeypatch):
     import pitchextractor_tpu.models.sequence as seq
     import pitchextractor_tpu.models.jdc as jdc_mod
+
+    monkeypatch.setenv("PEX_FUSED4_LSTM", "1")
     from pitchextractor_tpu.models import JDCNet
 
     model = JDCNet(
