@@ -85,6 +85,10 @@ class HarmonicSynthesizer:
             raise ValueError("pitch_range must contain two values")
         self.pitch_min = float(min(pitch_range))
         self.pitch_max = float(max(pitch_range))
+        # log-uniform pitch sampling (off by default: the reference samples
+        # uniform in Hz, Utils/synthetic.py:157; labeler self-training turns
+        # this on so every octave gets equal coverage)
+        self.pitch_log_uniform = bool(cfg.get("pitch_log_uniform", False))
 
         noise_db_cfg = cfg.get("noise_db", -60.0)
         self.noise_db = None if noise_db_cfg is None else float(noise_db_cfg)
@@ -137,10 +141,17 @@ class HarmonicSynthesizer:
             return max(self.max_duration, 0.1)
         return float(self.rng.uniform(self.min_duration, self.max_duration))
 
+    def _sample_pitch(self) -> float:
+        if self.pitch_log_uniform:
+            return float(
+                np.exp(self.rng.uniform(np.log(self.pitch_min), np.log(self.pitch_max)))
+            )
+        return float(self.rng.uniform(self.pitch_min, self.pitch_max))
+
     def _sample_f0_curve(self, num_frames: int) -> np.ndarray:
         """Piecewise-linear segments + probabilistic vibrato
         (reference Utils/synthetic.py:155-191)."""
-        base = float(self.rng.uniform(self.pitch_min, self.pitch_max))
+        base = self._sample_pitch()
         curve = np.full(num_frames, base, dtype=np.float64)
 
         max_segments = max(1, int(self.modulation.max_segments))
@@ -155,10 +166,7 @@ class HarmonicSynthesizer:
             else:
                 positions = []
             positions = [0] + positions + [num_frames - 1]
-            segment_values = [
-                float(self.rng.uniform(self.pitch_min, self.pitch_max))
-                for _ in range(len(positions))
-            ]
+            segment_values = [self._sample_pitch() for _ in range(len(positions))]
             for idx in range(len(positions) - 1):
                 start, end = positions[idx], positions[idx + 1]
                 if end <= start:

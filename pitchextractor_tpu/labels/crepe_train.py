@@ -58,6 +58,7 @@ def synthetic_frame_batches(
         config={
             "duration": {"min": 0.3, "max": 0.8},
             "pitch_range": [fmin, fmax],
+            "pitch_log_uniform": True,
             "gain_db_range": [-20.0, -3.0],
             "noise_db": -45.0,
         },

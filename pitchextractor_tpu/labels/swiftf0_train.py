@@ -61,6 +61,7 @@ def synthetic_spec_batches(
         config={
             "duration": {"min": 0.5, "max": 1.5},
             "pitch_range": [50.0, 1800.0],
+            "pitch_log_uniform": True,
             "gain_db_range": [-24.0, -3.0],
             "noise_db": -45.0,
         },

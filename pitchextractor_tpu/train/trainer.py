@@ -239,6 +239,21 @@ class Trainer:
         self.state = TrainState.from_tuple((params, stats, opt_state, steps))
         return {k: float(v) for k, v in metrics.items()}
 
+    @staticmethod
+    def get_gradient_norm(grads) -> float:
+        """Global L2 norm of a gradient pytree (reference trainer.py:197-205)."""
+        leaves = jax.tree_util.tree_leaves(grads)
+        total = sum(float(jnp.sum(jnp.square(g))) for g in leaves)
+        return float(np.sqrt(total))
+
+    @staticmethod
+    def length_to_mask(lengths) -> jnp.ndarray:
+        """(B,) lengths -> (B, max_len) bool mask, True beyond each length
+        (reference trainer.py:207-211)."""
+        lengths = jnp.asarray(lengths)
+        positions = jnp.arange(int(lengths.max()))[None, :]
+        return positions + 1 > lengths[:, None]
+
     def _get_lr(self) -> float:
         if self.schedule is None:
             return 0.0

@@ -247,3 +247,12 @@ def test_tensor_parallel_mesh_2d():
     trainer1 = _tiny_trainer(batches, batches[:1], mesh=mesh1)
     r1 = trainer1._train_epoch()
     np.testing.assert_allclose(r["train/loss"], r1["train/loss"], rtol=1e-3)
+
+
+def test_trainer_helpers():
+    grads = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.asarray([[0.0]])}
+    assert abs(Trainer.get_gradient_norm(grads) - 5.0) < 1e-6
+    mask = Trainer.length_to_mask(jnp.asarray([1, 3]))
+    np.testing.assert_array_equal(
+        np.asarray(mask), [[False, True, True], [False, False, False]]
+    )
