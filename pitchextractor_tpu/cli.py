@@ -47,6 +47,12 @@ def run(config_path: str, max_steps=None) -> int:
     num_workers = config.get("num_workers", 8)
     training_config = config.get("training", {})
 
+    # on-device front-end: datasets emit raw waveform crops; the mel +
+    # log-norm run inside the compiled training step (training section key
+    # `on_device_frontend`, new in the TPU framework)
+    if training_config.get("on_device_frontend", False):
+        config["dataset_params"]["return_wave"] = True
+
     train_list, val_list = config_lib.get_data_path_list(
         config.get("train_data"), config.get("val_data")
     )
@@ -94,6 +100,7 @@ def run(config_path: str, max_steps=None) -> int:
         use_mixed_precision=training_config.get("mixed_precision", True),
         gradient_checkpointing=training_config.get("gradient_checkpointing", False),
         n_mels=n_mels,
+        mel_params=config["dataset_params"]["mel_params"],
     )
 
     if config.get("pretrained_model", ""):

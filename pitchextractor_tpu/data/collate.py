@@ -26,6 +26,12 @@ class Collater:
 
     def __call__(self, batch: List[Tuple[np.ndarray, np.ndarray, np.ndarray]]):
         batch_size = len(batch)
+        if batch[0][0].ndim == 1:
+            # on-device front-end mode: items are fixed-length raw waveforms
+            waves = np.stack([item[0] for item in batch]).astype(np.float32)
+            f0s = np.stack([item[1] for item in batch]).astype(np.float32)
+            sils = np.stack([item[2] for item in batch]).astype(np.float32)
+            return waves, f0s, sils
         nmels = batch[0][0].shape[0]
         mels = np.zeros((batch_size, nmels, self.max_mel_length), dtype=np.float32)
         f0s = np.zeros((batch_size, self.max_mel_length), dtype=np.float32)

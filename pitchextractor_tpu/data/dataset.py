@@ -115,7 +115,12 @@ class MelDataset:
         verbose: bool = True,
         synthetic_data: Optional[Dict] = None,
         seed: int = 1,
+        return_wave: bool = False,
     ) -> None:
+        # return_wave: emit fixed-length raw waveform crops instead of host
+        # mels — the on-device front-end mode (the mel + log-norm run inside
+        # the jitted training step on the MXU; no host FFT, no mel cache)
+        self.return_wave = bool(return_wave)
         self.verbose = verbose
         self.rng = ThreadLocalRNG(seed)
         self.data_list = parse_data_list(data_list)
@@ -657,6 +662,9 @@ class MelDataset:
             waveform = resample_np(waveform, sr, self.sr)
             sr = self.sr
 
+        if self.return_wave:
+            return self._build_wave_example(waveform, f0)
+
         expected_metadata = None
         mel = None
         if cache_key is not None and allow_cache:
@@ -692,6 +700,45 @@ class MelDataset:
             f0[nan_mask] = self.zero_value
 
         return mel, f0.astype(np.float32), is_silence
+
+    def _build_wave_example(self, waveform: np.ndarray, f0):
+        """On-device front-end mode: (wave crop (T-1)·hop samples, f0 (T,),
+        silence (T,)) with T = max_mel_length.  The mel + log-norm for the
+        crop run inside the jitted training step (dsp.mel_spectrogram_gemm),
+        so labels are aligned to the crop's own centred STFT frames."""
+        hop = int(self.mel_params["hop_length"])
+        T = int(self.max_mel_length)
+        mel_length = 1 + len(waveform) // hop
+
+        if f0 is None:
+            f0 = np.zeros((mel_length,), dtype=np.float32)
+        else:
+            f0 = self.f0_extractor.align_length(f0, mel_length)
+        is_silence = np.zeros_like(f0, dtype=np.float32)
+        is_silence[f0 == 0] = 1.0
+
+        if mel_length > T:
+            random_start = int(self.rng.integers(0, mel_length - T))
+            f0 = f0[random_start : random_start + T]
+            is_silence = is_silence[random_start : random_start + T]
+            wave = waveform[random_start * hop : random_start * hop + (T - 1) * hop]
+        else:
+            wave = waveform
+        target_samples = (T - 1) * hop
+        if len(wave) < target_samples:
+            wave = np.pad(wave, (0, target_samples - len(wave)))
+        else:
+            wave = wave[:target_samples]
+        if len(f0) < T:
+            pad = T - len(f0)
+            f0 = np.pad(f0, (0, pad))
+            is_silence = np.pad(is_silence, (0, pad), constant_values=1.0)
+
+        nan_mask = np.isnan(f0)
+        if nan_mask.any():
+            f0 = f0.copy()
+            f0[nan_mask] = self.zero_value
+        return wave.astype(np.float32), f0.astype(np.float32), is_silence
 
     # ------------------------------------------------------------------
     # mel cache (reference meldataset.py:679-788)

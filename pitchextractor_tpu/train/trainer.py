@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..dsp.mel import MEL_LOG_OFFSET, MEL_MEAN, MEL_STD, mel_spectrogram_gemm
 from ..parallel.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
 from ..parallel.sharding import infer_param_shardings, place_params
 from . import checkpoint as ckpt_lib
@@ -85,6 +86,7 @@ class Trainer:
         seed: int = 0,
         n_mels: int = 80,
         max_mel_length: int = 192,
+        mel_params: Optional[Dict] = None,
     ) -> None:
         self.model = model
         self.tx = optimizer
@@ -99,6 +101,11 @@ class Trainer:
         self.gradient_checkpointing = bool(gradient_checkpointing)
         self.n_mels = int(n_mels)
         self.max_mel_length = int(max_mel_length)
+        # used by the on-device front-end path (2-D waveform batches): the
+        # GEMM mel + log-norm run inside the jitted step on the MXU
+        from ..config import normalize_mel_params
+
+        self.mel_params = normalize_mel_params(mel_params)
         self.finish_train = False
 
         self.mesh = mesh if mesh is not None else make_mesh(model_parallel=1)
@@ -171,6 +178,27 @@ class Trainer:
             forward = jax.checkpoint(forward, static_argnums=(4,))
         return forward, lambda_f0
 
+    def _features(self, mels):
+        """Batch -> NHWC model input.
+
+        3-D/4-D input: collated host mels (B, 1, M, T) (reference contract).
+        2-D input: raw waveform crops (B, samples) — the on-device front-end
+        runs the GEMM mel + log-norm inside the compiled step.
+        """
+        if mels.ndim == 2:
+            mp = self.mel_params
+            mel = mel_spectrogram_gemm(
+                mels,
+                mp["sample_rate"],
+                mp["n_fft"],
+                mp["win_length"],
+                mp["hop_length"],
+                mp["n_mels"],
+            )  # (B, M, T)
+            mel = (jnp.log(MEL_LOG_OFFSET + mel) - MEL_MEAN) / MEL_STD
+            return jnp.transpose(mel, (0, 2, 1))[..., None]  # (B, T, M, 1)
+        return jnp.transpose(mels, (0, 3, 2, 1))  # (B,1,M,T) -> (B,T,M,1)
+
     def _build_train_step(self):
         forward, lambda_f0 = self._apply_fn()
         tx = self.tx
@@ -179,7 +207,7 @@ class Trainer:
 
         def train_step(params, batch_stats, opt_state, steps, mels, f0, sil):
             with jax.default_matmul_precision(matmul_precision):
-                x = jnp.transpose(mels, (0, 3, 2, 1))  # (B,1,M,T) -> (B,T,M,1)
+                x = self._features(mels)
                 dropout_rng = jax.random.fold_in(base_rng, steps)
 
                 def loss_fn(p):
@@ -205,7 +233,7 @@ class Trainer:
 
         def eval_step(params, batch_stats, mels, f0, sil):
             with jax.default_matmul_precision(matmul_precision):
-                x = jnp.transpose(mels, (0, 3, 2, 1))
+                x = self._features(mels)
                 f0_pred, sil_pred, _ = forward(
                     params, batch_stats, x, jax.random.PRNGKey(0), False
                 )
