@@ -285,3 +285,26 @@ def test_batched_extractor_compute():
     for i, freq in enumerate([220.0, 440.0]):
         voiced = out[i][out[i] > 0]
         assert np.median(np.abs(1200 * np.log2(voiced / freq))) < 20
+
+
+SHIPPED_SWIFTF0 = "weights/swiftf0.npz"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isfile(SHIPPED_SWIFTF0), reason="shipped weights absent"
+)
+def test_shipped_swiftf0_weights():
+    """Self-trained SwiftF0 weights: accurate for mid/high pitch; the low
+    band (<150 Hz) is a known weakness of the frame-wise linear-bin CNN and
+    is handled by cascade order + confidence gating."""
+    from pitchextractor_tpu.labels.swiftf0 import SwiftF0Labeler, TARGET_SAMPLE_RATE
+
+    lab = SwiftF0Labeler(weights_path=SHIPPED_SWIFTF0, confidence_threshold=0.3)
+    t = np.arange(TARGET_SAMPLE_RATE) / TARGET_SAMPLE_RATE
+    for freq in (440.0, 880.0):
+        phase = np.cumsum(2 * np.pi * np.full(len(t), freq) / TARGET_SAMPLE_RATE)
+        audio = (0.3 * (np.sin(phase) + 0.4 * np.sin(2 * phase))).astype(np.float32)
+        f0, conf, voicing = lab.detect(audio, TARGET_SAMPLE_RATE)
+        v = f0[5:-5]
+        cents = np.abs(1200 * np.log2(np.maximum(v, 1e-3) / freq))
+        assert np.median(cents) < 60, (freq, np.median(cents))
