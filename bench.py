@@ -61,13 +61,15 @@ def _bench_train_step(batch_size=64, T=192, steps=20, warmup=3, seq_cfg=None):
     sil = (f0 < 100).astype(np.float32)
     batch = (mels, f0, sil)
 
+    # NOTE: jax.block_until_ready does not synchronize through remote
+    # transports (axon); force a device->host scalar fetch instead.
     for _ in range(warmup):
-        trainer.run(batch)
-    jax.block_until_ready(trainer.state.params)
+        metrics = trainer.run(batch)
+    float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(steps):
-        trainer.run(batch)
-    jax.block_until_ready(trainer.state.params)
+        metrics = trainer.run(batch)
+    float(metrics["loss"])  # sync on the full dependency chain
     elapsed = time.perf_counter() - t0
     n_chips = len(jax.devices())
     utt_per_sec = batch_size * steps / elapsed

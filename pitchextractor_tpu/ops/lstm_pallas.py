@@ -193,8 +193,22 @@ def _lstm_bwd_core(x_proj, w_hh, hs, cs, g):
     return dx_proj, dw_hh
 
 
+def _use_pallas_bptt() -> bool:
+    """The Pallas BPTT kernel measured at parity-to-slightly-slower than the
+    batched-recompute + reverse-scan backward (the 7H activation pack adds
+    HBM traffic that cancels the scan-overhead savings), so it ships opt-in."""
+    import os
+
+    return bool(os.environ.get("PEX_PALLAS_BPTT"))
+
+
 def _lstm_bwd(residuals, g):
     x_proj, w_hh, hs, cs = residuals
+    if _use_pallas_bptt() or _INTERPRET:
+        dx, dw = _multichain_bwd_pallas(
+            x_proj[:, None], w_hh[None], hs[:, None], cs[:, None], g[:, None]
+        )
+        return dx[:, 0], dw[0]
     return _lstm_bwd_core(x_proj, w_hh, hs, cs, g)
 
 
@@ -321,9 +335,140 @@ def _bilstm_fwd(x_proj2, w_hh2):
     return hs, (x_proj2, w_hh2, hs, cs)
 
 
+def _bptt_kernel(pack_ref, whhT_ref, dgates_ref, pbuf, obuf, dc, dh_rec,
+                 in_sems, out_sems, *, T, C):
+    """Reverse-time BPTT recurrence.
+
+    pack_ref: (T, C, B, 7H) HBM — per step [g, gi, gf, gg, go, tanh_c,
+    c_prev] concatenated on the last axis (precomputed batched outside).
+    whhT_ref: (C, 4H, H) VMEM.  dgates_ref: (T, C, B, 4H) HBM output.
+    Carries dc/dh_rec (C, B, H) stay in VMEM for the whole sequence.
+    """
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(pack_ref.at[i], pbuf.at[slot], in_sems.at[slot])
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(obuf.at[slot], dgates_ref.at[i], out_sems.at[slot])
+
+    dc[:] = jnp.zeros_like(dc)
+    dh_rec[:] = jnp.zeros_like(dh_rec)
+    in_dma(0, T - 1).start()
+
+    def body(k, _):
+        i = T - 1 - k  # reverse time
+        slot = lax.rem(k, 2)
+        next_slot = lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < T)
+        def _():
+            in_dma(next_slot, i - 1).start()
+
+        in_dma(slot, i).wait()
+
+        # reclaim this output slot (written two reverse-steps ago) once,
+        # before any chain writes into it
+        @pl.when(k >= 2)
+        def _():
+            out_dma(slot, i + 2).wait()
+
+        H = dc.shape[-1]
+        for c in range(C):  # static unroll over chains
+            pk = pbuf[slot, c]
+            g_t = pk[:, 0 * H : 1 * H]
+            gi = pk[:, 1 * H : 2 * H]
+            gf = pk[:, 2 * H : 3 * H]
+            gg = pk[:, 3 * H : 4 * H]
+            go = pk[:, 4 * H : 5 * H]
+            tanh_c = pk[:, 5 * H : 6 * H]
+            c_prev = pk[:, 6 * H : 7 * H]
+
+            dh = g_t + dh_rec[c]
+            dct = dh * go * (1.0 - tanh_c * tanh_c) + dc[c]
+            do = dh * tanh_c * go * (1.0 - go)
+            di = dct * gg * gi * (1.0 - gi)
+            df = dct * c_prev * gf * (1.0 - gf)
+            dgg = dct * gi * (1.0 - gg * gg)
+            dgates = jnp.concatenate([di, df, dgg, do], axis=-1)
+
+            obuf[slot, c] = dgates
+            dh_rec[c] = jnp.dot(dgates, whhT_ref[c], preferred_element_type=jnp.float32)
+            dc[c] = dct * gf
+
+        out_dma(slot, i).start()
+        return ()
+
+    lax.fori_loop(0, T, body, ())
+
+    @pl.when(T >= 2)
+    def _():
+        out_dma(lax.rem(T - 2, 2), 1).wait()
+
+    out_dma(lax.rem(T - 1, 2), 0).wait()
+
+
+def _bptt_kernel_call(pack, w_hh_T):
+    """pack: (T, C, B, 7H); w_hh_T: (C, 4H, H) -> dgates (T, C, B, 4H)."""
+    T, C, B, H7 = pack.shape
+    H = H7 // 7
+    kernel = functools.partial(_bptt_kernel, T=T, C=C)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, C, B, 4 * H), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, B, H7), jnp.float32),
+            pltpu.VMEM((2, C, B, 4 * H), jnp.float32),
+            pltpu.VMEM((C, B, H), jnp.float32),
+            pltpu.VMEM((C, B, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * C * B * 4 * H * H,
+            bytes_accessed=(T * C * B * H7 + T * C * B * 4 * H + C * 4 * H * H) * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(pack.astype(jnp.float32), w_hh_T.astype(jnp.float32))
+
+
+def _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g):
+    """Pallas BPTT for the multichain recurrence.
+
+    x_proj2/hs/cs/g: (T, C, B, ·); w_hh2: (C, H, 4H).
+    Returns (dx_proj (T,C,B,4H), dw_hh (C,H,4H)).
+    """
+    T, C, B, H = hs.shape
+    zeros = jnp.zeros((1, C, B, H), hs.dtype)
+    h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
+
+    # batched gate recomputation — one big MXU matmul over T·C·B rows
+    gates = x_proj2 + jnp.einsum("tcbh,chg->tcbg", h_prev, w_hh2)
+    gi = jax.nn.sigmoid(gates[..., :H])
+    gf = jax.nn.sigmoid(gates[..., H : 2 * H])
+    gg = jnp.tanh(gates[..., 2 * H : 3 * H])
+    go = jax.nn.sigmoid(gates[..., 3 * H :])
+    tanh_c = jnp.tanh(cs)
+
+    pack = jnp.concatenate([g, gi, gf, gg, go, tanh_c, c_prev], axis=-1)
+    w_hh_T = jnp.swapaxes(w_hh2, 1, 2)  # (C, 4H, H)
+    dgates = _bptt_kernel_call(pack, w_hh_T)  # (T, C, B, 4H)
+
+    dx_proj = dgates
+    dw_hh = jnp.einsum("tcbh,tcbg->chg", h_prev, dgates)
+    return dx_proj, dw_hh
+
+
 def _bilstm_bwd(residuals, g):
     x_proj2, w_hh2, hs, cs = residuals
-    # vmap the single-chain BPTT over the chain axis (time-major inside)
+    if _use_pallas_bptt() or _INTERPRET:
+        return _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g)
     to_chain = lambda a: jnp.swapaxes(a, 0, 1)  # (T,C,...) -> (C,T,...)
     dx, dw = jax.vmap(_lstm_bwd_core)(
         to_chain(x_proj2), w_hh2, to_chain(hs), to_chain(cs), to_chain(g)

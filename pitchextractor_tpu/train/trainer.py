@@ -257,15 +257,20 @@ class Trainer:
         put = partial(jax.device_put, device=self._batch_sharding)
         return put(np.asarray(mels)), put(np.asarray(f0s)), put(np.asarray(sils))
 
-    def run(self, batch) -> Dict[str, float]:
-        """One optimization step (reference trainer.py:219-252)."""
+    def run(self, batch) -> Dict[str, Any]:
+        """One optimization step (reference trainer.py:219-252).
+
+        Returns *device* scalars: fetching them eagerly would force a
+        device->host round-trip on every step (expensive over remote
+        transports); the epoch loops stack and fetch them once per epoch.
+        """
         mels, f0s, sils = self._put_batch(batch)
         s = self.state
         params, stats, opt_state, steps, metrics = self._train_step(
             s.params, s.batch_stats, s.opt_state, s.steps, mels, f0s, sils
         )
         self.state = TrainState.from_tuple((params, stats, opt_state, steps))
-        return {k: float(v) for k, v in metrics.items()}
+        return metrics
 
     @staticmethod
     def get_gradient_norm(grads) -> float:
@@ -307,6 +312,10 @@ class Trainer:
             n_items += batch[0].shape[0]
             for key, value in losses.items():
                 train_losses[f"train/{key}"].append(value)
+        # one device->host fetch for the whole epoch's metrics
+        train_losses = {
+            key: np.asarray(jnp.stack(value)) for key, value in train_losses.items()
+        }
         elapsed = max(time.time() - t0, 1e-9)
         results = {key: float(np.mean(value)) for key, value in train_losses.items()}
         results["train/learning_rate"] = self._get_lr()
@@ -322,8 +331,11 @@ class Trainer:
                 self.state.params, self.state.batch_stats, mels, f0s, sils
             )
             for key, value in metrics.items():
-                eval_losses[f"eval/{key}"].append(float(value))
-        return {key: float(np.mean(value)) for key, value in eval_losses.items()}
+                eval_losses[f"eval/{key}"].append(value)
+        return {
+            key: float(np.mean(np.asarray(jnp.stack(value))))
+            for key, value in eval_losses.items()
+        }
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, checkpoint_path: str) -> None:
