@@ -130,8 +130,9 @@ class F0Predictor:
         hop = self.mel_params["hop_length"]
         true_frames = 1 + len(audio) // hop
         if self.bucket_seconds > 0:
-            bucket = max(int(self.bucket_seconds * self.sample_rate), 1)
-            padded_len = ((len(audio) + bucket - 1) // bucket) * bucket
+            from ..labels.backends import bucket_length
+
+            padded_len = bucket_length(len(audio), self.sample_rate, self.bucket_seconds)
             if padded_len > len(audio):
                 audio = np.pad(audio, (0, padded_len - len(audio)))
         f0_chunks, voicing_chunks, total = _predict_graph(

@@ -30,15 +30,32 @@ from .base import BackendComputationError, BackendUnavailableError, BaseF0Backen
 from .trackers import TrackerParams, track_pitch, track_pitch_batch
 
 
-def _pad_to_bucket(waveform: np.ndarray, sr: int, bucket_seconds: float) -> np.ndarray:
-    """Zero-pad to the next multiple of ``bucket_seconds`` so arbitrary file
-    lengths map onto a small set of compiled tracker shapes (each distinct
-    shape is one XLA compilation; unbounded shape diversity would recompile
-    per file).  The caller trims the contour back to the true frame count."""
+def bucket_length(length: int, sr: int, bucket_seconds: float, linear_cap_seconds: float = 8.0) -> int:
+    """Padded length for shape bucketing.
+
+    Linear 1-bucket granularity up to ``linear_cap_seconds`` (fine-grained,
+    few shapes), geometric ×2 buckets beyond it — so audio of any duration
+    maps onto O(log) compiled shapes instead of one per distinct second.
+    """
     if bucket_seconds <= 0:
-        return waveform
+        return length
     bucket = max(int(bucket_seconds * sr), 1)
-    padded_len = ((waveform.shape[-1] + bucket - 1) // bucket) * bucket
+    padded = ((length + bucket - 1) // bucket) * bucket
+    cap = int(linear_cap_seconds * sr)
+    if padded <= cap:
+        return padded
+    size = cap
+    while size < length:
+        size *= 2
+    return size
+
+
+def _pad_to_bucket(waveform: np.ndarray, sr: int, bucket_seconds: float) -> np.ndarray:
+    """Zero-pad onto the bucketed shape grid so arbitrary file lengths map
+    onto a bounded set of compiled tracker shapes (each distinct shape is one
+    XLA compilation).  The caller trims the contour back to the true frame
+    count."""
+    padded_len = bucket_length(waveform.shape[-1], sr, bucket_seconds)
     if padded_len == waveform.shape[-1]:
         return waveform
     pad = padded_len - waveform.shape[-1]

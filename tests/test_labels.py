@@ -308,3 +308,17 @@ def test_shipped_swiftf0_weights():
         v = f0[5:-5]
         cents = np.abs(1200 * np.log2(np.maximum(v, 1e-3) / freq))
         assert np.median(cents) < 60, (freq, np.median(cents))
+
+
+def test_bucket_length_grid():
+    from pitchextractor_tpu.labels.backends import bucket_length
+
+    sr = 24000
+    # linear 1s buckets below the cap
+    assert bucket_length(10, sr, 1.0) == sr
+    assert bucket_length(sr + 1, sr, 1.0) == 2 * sr
+    assert bucket_length(8 * sr, sr, 1.0) == 8 * sr
+    # geometric x2 above the cap: any long duration -> O(log) shapes
+    assert bucket_length(9 * sr, sr, 1.0) == 16 * sr
+    assert bucket_length(17 * sr, sr, 1.0) == 32 * sr
+    assert bucket_length(100, sr, 0) == 100  # disabled
