@@ -98,13 +98,18 @@ def _bench_labeler(batch_size=64, seconds=2.4, steps=10, warmup=2):
     batch = jnp.asarray(audio)
     params = TrackerParams()
 
-    out = track_pitch_batch(batch, sr, hop, params)
-    jax.block_until_ready(out)
+    # force a device->host fetch to synchronize (block_until_ready is a
+    # no-op through remote transports)
+    def run_once():
+        out = track_pitch_batch(batch, sr, hop, params)
+        return float(out[0, 0])
+
+    run_once()
     for _ in range(warmup):
-        jax.block_until_ready(track_pitch_batch(batch, sr, hop, params))
+        run_once()
     t0 = time.perf_counter()
     for _ in range(steps):
-        jax.block_until_ready(track_pitch_batch(batch, sr, hop, params))
+        run_once()
     elapsed = time.perf_counter() - t0
     total_audio_seconds = batch_size * seconds * steps
     return {

@@ -319,7 +319,13 @@ class SwiftF0Backend(BaseF0Backend):
 
 
 class PraatBackend(BaseF0Backend):
-    """Host Praat wrapper via parselmouth (reference f0_backends.py:437-578)."""
+    """Host Praat wrapper via parselmouth (reference f0_backends.py:437-578).
+
+    Full reference config surface: ``method`` resolves "ac"/"cc" to the
+    dedicated autocorrelation/cross-correlation entry points, anything else
+    through parselmouth's ToPitchMethod enum; ``unit`` selects the field of
+    ``selected_array`` with case/alias fallbacks.
+    """
 
     backend_type = "praat"
 
@@ -339,7 +345,85 @@ class PraatBackend(BaseF0Backend):
         self.octave_cost = self._coerce_float("octave_cost", 0.01)
         self.octave_jump_cost = self._coerce_float("octave_jump_cost", 1.0)
         self.voiced_unvoiced_cost = self._coerce_float("voiced_unvoiced_cost", 0.3)
-        self.method = str(self.config.get("method", "ac") or "ac").strip().lower()
+        self.pitch_unit = self.config.get("unit", "Hertz")
+        from .registry import coerce_enabled_flag
+
+        self.very_accurate = coerce_enabled_flag(self.config.get("very_accurate", False))
+        self._raw_method = self.config.get("method")
+        self._method_key = self._normalise_method(self._raw_method)
+
+    @staticmethod
+    def _normalise_method(method_value) -> Optional[str]:
+        """(reference f0_backends.py:460-467)"""
+        import re
+
+        if method_value is None:
+            return None
+        text = str(method_value).strip().lower()
+        if not text:
+            return None
+        return re.sub(r"[^a-z0-9]+", "", text)
+
+    def _resolve_method_enum(self, method_value):
+        """(reference f0_backends.py:469-492)"""
+        import re
+
+        if method_value is None:
+            return None
+        enum_cls = getattr(self._parselmouth.Sound, "ToPitchMethod", None)
+        if enum_cls is None:
+            return None
+        if isinstance(method_value, enum_cls):  # pragma: no cover - defensive
+            return method_value
+        method_key = self._normalise_method(method_value)
+        if method_key is None:
+            return None
+        for attr in dir(enum_cls):
+            if attr.startswith("_"):
+                continue
+            try:
+                candidate = getattr(enum_cls, attr)
+            except AttributeError:  # pragma: no cover - defensive
+                continue
+            if not isinstance(candidate, enum_cls):
+                continue
+            if method_key == re.sub(r"[^a-z0-9]+", "", attr.lower()):
+                return candidate
+        return None
+
+    def _select_unit(self, selected) -> np.ndarray:
+        """Unit-key lookup with case/alias fallbacks
+        (reference f0_backends.py:533-578)."""
+        unit_key = self.pitch_unit or "Hertz"
+        candidate_keys = []
+        if isinstance(unit_key, str):
+            candidate_keys.extend(
+                [unit_key, unit_key.lower(), unit_key.upper(), unit_key.capitalize()]
+            )
+            if unit_key.lower() == "hertz":
+                candidate_keys.append("frequency")
+        else:
+            candidate_keys.extend(["Hertz", "frequency"])
+        seen = set()
+        candidate_keys = [k for k in candidate_keys if not (k in seen or seen.add(k))]
+
+        last_error = None
+        for key in candidate_keys:
+            try:
+                return np.asarray(selected[key], dtype=np.float64)
+            except Exception as exc:  # pragma: no cover - passthrough
+                last_error = exc
+                continue
+        available = []
+        dtype = getattr(selected, "dtype", None)
+        if getattr(dtype, "names", None):
+            available = list(dtype.names)
+        detail = (
+            f"Available fields: {available!r}. Last error: {last_error}"
+            if available or last_error
+            else ""
+        )
+        raise ValueError(f"Unsupported Praat pitch unit '{self.pitch_unit}'. {detail}")
 
     def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
         sr = int(sr or self.sample_rate)
@@ -349,18 +433,28 @@ class PraatBackend(BaseF0Backend):
             time_step=time_step,
             pitch_floor=self.min_pitch,
             pitch_ceiling=self.max_pitch,
+            very_accurate=self.very_accurate,
             silence_threshold=self.silence_threshold,
             voicing_threshold=self.voicing_threshold,
             octave_cost=self.octave_cost,
             octave_jump_cost=self.octave_jump_cost,
             voiced_unvoiced_cost=self.voiced_unvoiced_cost,
         )
-        if self.method in {"cc", "crosscorrelation"}:
+        if self._method_key in {"ac", "autocorrelation"}:
+            pitch = sound.to_pitch_ac(**kwargs)
+        elif self._method_key in {"cc", "crosscorrelation"}:
             pitch = sound.to_pitch_cc(**kwargs)
         else:
-            pitch = sound.to_pitch_ac(**kwargs)
-        values = pitch.selected_array["frequency"]
-        return np.asarray(values, dtype=np.float64)
+            method_enum = self._resolve_method_enum(self._raw_method)
+            generic_kwargs = dict(
+                time_step=time_step,
+                pitch_floor=self.min_pitch,
+                pitch_ceiling=self.max_pitch,
+            )
+            if method_enum is not None:
+                generic_kwargs["method"] = method_enum
+            pitch = sound.to_pitch(**generic_kwargs)
+        return self._select_unit(pitch.selected_array)
 
 
 class ParselmouthBackend(PraatBackend):
