@@ -36,28 +36,34 @@ def _istft_np(spec: np.ndarray, n_fft: int, hop_length: int, win_length: int, le
 
 
 def time_stretch(waveform: np.ndarray, rate: float, n_fft: int = 2048, hop_length: int = 512) -> np.ndarray:
-    """Phase-vocoder time stretch: rate > 1 speeds up (shorter output)."""
+    """Phase-vocoder time stretch: rate > 1 speeds up (shorter output).
+
+    Fully vectorized: the per-output-frame phase accumulation is a cumulative
+    sum of (wrapped) instantaneous phase advances, so the whole vocoder is a
+    handful of gathers + one cumsum instead of a Python loop over frames.
+    """
     x = np.asarray(waveform, dtype=np.float64)
     spec = stft_np(x, n_fft=n_fft, hop_length=hop_length, win_length=n_fft)
     n_freq, n_frames = spec.shape
 
     time_steps = np.arange(0, n_frames, rate)
-    phi_advance = np.linspace(0, np.pi * hop_length, n_freq)
+    phi_advance = np.linspace(0, np.pi * hop_length, n_freq)[:, None]
 
     mag = np.abs(spec)
     phase = np.angle(spec)
 
-    out = np.zeros((n_freq, len(time_steps)), dtype=np.complex128)
-    phase_acc = phase[:, 0].copy()
-    for t, step in enumerate(time_steps):
-        i0 = int(np.floor(step))
-        i1 = min(i0 + 1, n_frames - 1)
-        frac = step - i0
-        m = (1.0 - frac) * mag[:, i0] + frac * mag[:, i1]
-        out[:, t] = m * np.exp(1j * phase_acc)
-        dphase = phase[:, i1] - phase[:, i0] - phi_advance
-        dphase = dphase - 2.0 * np.pi * np.round(dphase / (2.0 * np.pi))
-        phase_acc += phi_advance + dphase
+    i0 = np.floor(time_steps).astype(int)
+    i1 = np.minimum(i0 + 1, n_frames - 1)
+    frac = time_steps - i0
+
+    m = (1.0 - frac)[None, :] * mag[:, i0] + frac[None, :] * mag[:, i1]
+    dphase = phase[:, i1] - phase[:, i0] - phi_advance
+    dphase = dphase - 2.0 * np.pi * np.round(dphase / (2.0 * np.pi))
+    advances = phi_advance + dphase  # advance applied AFTER each frame
+    phase_acc = phase[:, 0:1] + np.concatenate(
+        [np.zeros((n_freq, 1)), np.cumsum(advances[:, :-1], axis=1)], axis=1
+    )
+    out = m * np.exp(1j * phase_acc)
 
     out_length = int(round(len(x) / rate))
     y = _istft_np(out, n_fft=n_fft, hop_length=hop_length, win_length=n_fft, length=out_length)
