@@ -189,6 +189,7 @@ class JDCNet(nn.Module):
             and _lstm_use_pallas()
             and clf.model_type.lower() == "bilstm"
             and clf.bidirectional
+            and __import__("pitchextractor_tpu.ops.lstm_pallas", fromlist=["lane_aligned"]).lane_aligned(clf.hidden_size)
         )
         if fused4:
             classifier_out, detector_out = self._fused_heads(classifier_in, detector_in, train)

@@ -75,7 +75,9 @@ class LSTMLayer(nn.Module):
             # fused bidirectional path: the parent runs the recurrence
             return x_proj, w_hh
 
-        if _lstm_use_pallas():
+        from ..ops.lstm_pallas import lane_aligned
+
+        if _lstm_use_pallas() and lane_aligned(H):
             from ..ops.lstm_pallas import lstm_layer_pallas
 
             hs = lstm_layer_pallas(x_proj, w_hh, reverse=self.reverse)
@@ -127,7 +129,11 @@ class BiLSTM(nn.Module):
 
     def __call__(self, x, train: bool = False):
         h = x
-        fused = self.bidirectional and _lstm_use_pallas()
+        from ..ops.lstm_pallas import lane_aligned
+
+        # the kernel slices gate blocks of width H on the lane axis, so the
+        # hidden size must align to the 128-lane tiling
+        fused = self.bidirectional and _lstm_use_pallas() and lane_aligned(self.hidden_size)
         for layer in range(self.num_layers):
             fwd_layer = getattr(self, f"l{layer}_fwd")
             if fused:

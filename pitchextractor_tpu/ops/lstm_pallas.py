@@ -35,6 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = False  # flipped by tests to run the kernel on CPU
 
 
+def lane_aligned(hidden_size: int) -> bool:
+    """The kernels slice gate blocks of width H on the lane axis; H must
+    align to the 128-lane tiling (interpret mode has no tiling)."""
+    return _INTERPRET or hidden_size % 128 == 0
+
+
 def pallas_lstm_available() -> bool:
     try:
         return jax.default_backend() in ("tpu", "axon")
