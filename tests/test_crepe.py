@@ -116,3 +116,44 @@ def test_shipped_weights_accuracy():
         voiced = f0[5:-5]
         cents_err = np.abs(1200 * np.log2(np.maximum(voiced, 1e-3) / freq))
         assert np.median(cents_err) < 50, (freq, np.median(cents_err))
+
+
+def test_torchcrepe_layout_conversion():
+    """convert_crepe_weights maps a torchcrepe-layout state dict onto our
+    flax tree (verified by loading and running the converted weights)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"))
+    from convert_crepe_weights import convert_torch_state
+    from pitchextractor_tpu.labels.crepe import _FILTERS, _WIDTHS, load_crepe_weights
+
+    rng = np.random.default_rng(0)
+    capacity = 4  # tiny
+    state = {}
+    in_ch = 1
+    for i, (f, w) in enumerate(zip(_FILTERS, _WIDTHS), start=1):
+        out_ch = f * capacity
+        state[f"conv{i}.weight"] = rng.standard_normal((out_ch, in_ch, w, 1)).astype(np.float32)
+        state[f"conv{i}.bias"] = rng.standard_normal(out_ch).astype(np.float32)
+        state[f"conv{i}_BN.weight"] = np.ones(out_ch, np.float32)
+        state[f"conv{i}_BN.bias"] = np.zeros(out_ch, np.float32)
+        state[f"conv{i}_BN.running_mean"] = np.zeros(out_ch, np.float32)
+        state[f"conv{i}_BN.running_var"] = np.ones(out_ch, np.float32)
+        in_ch = out_ch
+    # flattened feature size after 6 maxpools of 2: 1024/4 (stride) /2^6 -> 4
+    feat = in_ch * 4
+    state["classifier.weight"] = rng.standard_normal((CREPE_BINS, feat)).astype(np.float32)
+    state["classifier.bias"] = np.zeros(CREPE_BINS, np.float32)
+
+    arrays = convert_torch_state(state)
+    import tempfile, os as _os2
+
+    path = _os2.path.join(tempfile.mkdtemp(), "conv.npz")
+    np.savez(path, **arrays)
+    variables = load_crepe_weights(path, capacity)
+    model = CrepeModel(capacity=capacity)
+    logits = model.apply(variables, jnp.zeros((2, CREPE_WINDOW)), train=False)
+    assert logits.shape == (2, CREPE_BINS)
+    # conv kernel orientation: (W, in, out)
+    assert variables["params"]["conv1"]["kernel"].shape == (_WIDTHS[0], 1, _FILTERS[0] * capacity)

@@ -256,3 +256,14 @@ def test_trainer_helpers():
     np.testing.assert_array_equal(
         np.asarray(mask), [[False, True, True], [False, False, False]]
     )
+
+
+def test_training_determinism_same_seed():
+    """Two trainers with identical seeds/batches produce identical first-step
+    losses (fixed-seed regression invariant, SURVEY.md §4)."""
+    batches = _synthetic_batches(n_batches=1)
+    m1 = _tiny_trainer(batches, batches, seed=11).run(batches[0])
+    m2 = _tiny_trainer(batches, batches, seed=11).run(batches[0])
+    assert float(m1["loss"]) == float(m2["loss"])
+    m3 = _tiny_trainer(batches, batches, seed=12).run(batches[0])
+    assert float(m3["loss"]) != float(m1["loss"])  # seed actually matters
