@@ -85,6 +85,56 @@ def _predict_graph(
     return f0_chunks, voicing_chunks, total_frames
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "apply_fn",
+        "sample_rate",
+        "n_fft",
+        "win_length",
+        "hop_length",
+        "n_mels",
+        "chunk_size",
+        "overlap",
+    ),
+)
+def _predict_graph_batch(
+    apply_fn,
+    variables,
+    audio: jnp.ndarray,  # (N, S) equal padded lengths
+    sample_rate: int,
+    n_fft: int,
+    win_length: int,
+    hop_length: int,
+    n_mels: int,
+    chunk_size: int,
+    overlap: int,
+    mean: float,
+    std: float,
+):
+    """Batched wav -> per-chunk predictions: all utterances' chunks run
+    through the model in ONE apply (N·n_chunks becomes the batch axis)."""
+    mel = mel_spectrogram_jax(audio, sample_rate, n_fft, win_length, hop_length, n_mels)
+    mel = (jnp.log(MEL_LOG_OFFSET + mel) - mean) / std  # (N, M, T)
+    N, M, total_frames = mel.shape
+    step = max(chunk_size - overlap, 1)
+    n_chunks = max(1, -(-total_frames // step))
+
+    padded = jnp.pad(mel, ((0, 0), (0, 0), (0, (n_chunks - 1) * step + chunk_size - total_frames)))
+    starts = jnp.arange(n_chunks) * step
+    idx = starts[:, None] + jnp.arange(chunk_size)[None, :]  # (n_chunks, chunk)
+    chunks = jnp.swapaxes(padded, 1, 2)[:, idx]  # (N, n_chunks, chunk, M)
+    x = chunks.reshape((N * n_chunks, chunk_size, M))[..., None]
+
+    f0_chunks, voicing_chunks = apply_fn(variables, x, train=False)
+    f0_chunks = jnp.squeeze(f0_chunks, axis=-1) if f0_chunks.shape[-1] == 1 else f0_chunks
+    return (
+        f0_chunks.reshape((N, n_chunks, chunk_size) + f0_chunks.shape[2:]),
+        voicing_chunks.reshape((N, n_chunks, chunk_size)),
+        total_frames,
+    )
+
+
 class F0Predictor:
     """Callable wav -> (f0_hz, voicing_logit) bound to one model + mel config."""
 
@@ -169,6 +219,52 @@ class F0Predictor:
         f0_chunks, _, total = self._run(audio, sr)
         f0 = self._stitch(f0_chunks, total, False)
         return f0, f0 > self.voicing_threshold_hz
+
+    def predict_f0_batch(self, audios, sr: Optional[int] = None) -> list:
+        """Batched inference over many utterances (one device dispatch per
+        padded-length bucket; every utterance's chunks share one model apply).
+
+        Args:
+          audios: iterable of 1-D waveforms (may have different lengths).
+        Returns: list of per-utterance F0 contours, frame-aligned.
+        """
+        from ..labels.backends import bucket_length
+
+        audios = [np.asarray(a, dtype=np.float32).reshape(-1) for a in audios]
+        if sr is not None and sr != self.sample_rate:
+            audios = [resample_np(a, sr, self.sample_rate) for a in audios]
+        hop = self.mel_params["hop_length"]
+
+        # group by padded bucket so each bucket is a single compiled shape
+        buckets: Dict[int, list] = {}
+        for i, a in enumerate(audios):
+            padded = bucket_length(len(a), self.sample_rate, max(self.bucket_seconds, 1e-6))
+            buckets.setdefault(padded, []).append(i)
+
+        results: list = [None] * len(audios)
+        for padded, indices in sorted(buckets.items()):
+            batch = np.zeros((len(indices), padded), dtype=np.float32)
+            for row, i in enumerate(indices):
+                batch[row, : len(audios[i])] = audios[i]
+            f0_chunks, _, total = _predict_graph_batch(
+                self.model.apply,
+                self.variables,
+                jnp.asarray(batch),
+                self.sample_rate,
+                self.mel_params["n_fft"],
+                self.mel_params["win_length"],
+                self.mel_params["hop_length"],
+                self.mel_params["n_mels"],
+                self.chunk_size,
+                self.overlap,
+                self.mean,
+                self.std,
+            )
+            f0_chunks = np.asarray(f0_chunks)
+            for row, i in enumerate(indices):
+                true_frames = 1 + len(audios[i]) // hop
+                results[i] = self._stitch(f0_chunks[row], min(int(total), true_frames), False)
+        return results
 
     def _stitch(self, chunks: np.ndarray, total_frames: int, legacy_concat: bool) -> np.ndarray:
         step = max(self.chunk_size - self.overlap, 1)

@@ -121,3 +121,13 @@ def test_load_model_roundtrip(tmp_path):
     p1 = F0Predictor(model, variables).predict_f0(audio)
     p2 = F0Predictor(model2, variables2).predict_f0(audio)
     np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
+def test_predict_f0_batch_matches_single(predictor):
+    """Batched multi-utterance inference must match per-utterance results."""
+    audios = [_audio(0.8), _audio(1.5), _audio(0.8)]
+    batch_results = predictor.predict_f0_batch(audios)
+    for audio, batched in zip(audios, batch_results):
+        single = predictor.predict_f0(audio)
+        assert batched.shape == single.shape
+        np.testing.assert_allclose(batched, single, atol=2e-3)
