@@ -109,3 +109,50 @@ def test_checkpoint_file_conversion_roundtrip(tmp_path):
         ref_f0, _ = ref(torch.from_numpy(x[:, None, :, :]))
     ours_f0, _ = model.apply(variables, jnp.asarray(x[..., None]), train=False)
     np.testing.assert_allclose(np.asarray(ours_f0), ref_f0.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_forward_parity_transformer():
+    """Transformer-head parity: converted reference weights must reproduce
+    the reference model's outputs (attention/FFN/norm mapping)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from convert_torch_checkpoint import convert_state_dict
+    from pitchextractor_tpu.models import JDCNet
+    from pitchextractor_tpu.train.checkpoint import tolerant_merge
+
+    seq_cfg = {
+        "model_type": "transformer",
+        "num_layers": 2,
+        "nhead": 8,
+        "dim_feedforward": 256,
+        "dropout": 0.0,
+    }
+    torch.manual_seed(7)
+    ref = _load_reference_model(num_class=1, seq_cfg=seq_cfg)
+
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats, num_class, info = convert_state_dict(state)
+    assert info["model_type"] == "transformer" and info["num_layers"] == 2
+
+    model = JDCNet(num_class=1, sequence_model_config=seq_cfg)
+    template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 80, 1)), train=False)
+    variables = {
+        "params": serialization.from_state_dict(
+            template["params"],
+            tolerant_merge(serialization.to_state_dict(template["params"]), params),
+        ),
+        "batch_stats": serialization.from_state_dict(
+            template["batch_stats"],
+            tolerant_merge(serialization.to_state_dict(template["batch_stats"]), stats),
+        ),
+    }
+
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 32, 80)).astype(np.float32)
+    with torch.no_grad():
+        ref_f0, ref_voicing = ref(torch.from_numpy(x[:, None, :, :]))
+    ours_f0, ours_voicing = model.apply(variables, jnp.asarray(x[..., None]), train=False)
+    np.testing.assert_allclose(np.asarray(ours_f0), ref_f0.numpy(), atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(ours_voicing), ref_voicing.numpy(), atol=5e-4, rtol=2e-3)

@@ -4,7 +4,7 @@ reference trainer.py:138-153) into this framework's msgpack format, mapping
 the reference JDCNet parameter names/layouts (model.py) onto the flax tree
 (pitchextractor_tpu/models/jdc.py).
 
-Supports the conv stack + BiLSTM sequence heads (the training default).
+Supports the conv stack and both sequence heads (BiLSTM and Transformer).
 Usage: python tools/convert_torch_checkpoint.py in.pth out.ckpt [--num-layers 4]
 """
 
@@ -74,30 +74,88 @@ def convert_state_dict(state: dict) -> tuple[dict, dict, int, dict]:
     params["detector_bn"], stats["detector_bn"] = {}, {}
     bn(params["detector_bn"], stats["detector_bn"], "detector_conv.1")
 
-    # sequence heads: nn.LSTM params (model.py:218-228)
+    # sequence heads: nn.LSTM (model.py:218-228) or nn.TransformerEncoder
+    # (model.py:229-241)
     lstm_keys = [k for k in t if re.match(r"sequence_(classifier|detector)\.model\.weight_ih_l\d+$", k)]
-    num_layers = 1 + max(
-        int(re.search(r"_l(\d+)$", k).group(1)) for k in lstm_keys
-    ) if lstm_keys else 0
-    for head in ("sequence_classifier", "sequence_detector"):
-        hp = {"bilstm": {}}
-        for layer in range(num_layers):
-            for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
-                base = f"{head}.model"
-                try:
-                    w_ih = t[f"{base}.weight_ih_l{layer}{suffix}"]
-                    w_hh = t[f"{base}.weight_hh_l{layer}{suffix}"]
-                    b_ih = t[f"{base}.bias_ih_l{layer}{suffix}"]
-                    b_hh = t[f"{base}.bias_hh_l{layer}{suffix}"]
-                except KeyError:
-                    continue
-                hp["bilstm"][f"l{layer}_{direction}"] = {
-                    "w_ih": _dense(w_ih),  # (4H, D) -> (D, 4H)
-                    "w_hh": _dense(w_hh),
-                    "b_ih": np.asarray(b_ih),
-                    "b_hh": np.asarray(b_hh),
+    tf_keys = [k for k in t if ".model.layers.0.self_attn.in_proj_weight" in k]
+    if lstm_keys:
+        num_layers = 1 + max(int(re.search(r"_l(\d+)$", k).group(1)) for k in lstm_keys)
+        for head in ("sequence_classifier", "sequence_detector"):
+            hp = {"bilstm": {}}
+            for layer in range(num_layers):
+                for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+                    base = f"{head}.model"
+                    try:
+                        w_ih = t[f"{base}.weight_ih_l{layer}{suffix}"]
+                        w_hh = t[f"{base}.weight_hh_l{layer}{suffix}"]
+                        b_ih = t[f"{base}.bias_ih_l{layer}{suffix}"]
+                        b_hh = t[f"{base}.bias_hh_l{layer}{suffix}"]
+                    except KeyError:
+                        continue
+                    hp["bilstm"][f"l{layer}_{direction}"] = {
+                        "w_ih": _dense(w_ih),  # (4H, D) -> (D, 4H)
+                        "w_hh": _dense(w_hh),
+                        "b_ih": np.asarray(b_ih),
+                        "b_hh": np.asarray(b_hh),
+                    }
+            params[head] = hp
+        num_lstm_layers = num_layers
+    elif tf_keys:
+        num_lstm_layers = 0
+        layer_ids = sorted(
+            {
+                int(re.search(r"\.model\.layers\.(\d+)\.", k).group(1))
+                for k in t
+                if ".model.layers." in k
+            }
+        )
+        d_model = t["sequence_classifier.model.layers.0.self_attn.in_proj_weight"].shape[1]
+        nhead = 8  # reference default (model.py:207); override via config at load
+        hd = d_model // nhead
+
+        def mha(prefix):
+            w_in = np.asarray(t[f"{prefix}.self_attn.in_proj_weight"])  # (3D, D)
+            b_in = np.asarray(t[f"{prefix}.self_attn.in_proj_bias"])
+            w_out = np.asarray(t[f"{prefix}.self_attn.out_proj.weight"])  # (D, D)
+            b_out = np.asarray(t[f"{prefix}.self_attn.out_proj.bias"])
+            def qkv(i):
+                w = w_in[i * d_model : (i + 1) * d_model]  # (D, D)
+                b = b_in[i * d_model : (i + 1) * d_model]
+                return {
+                    "kernel": w.T.reshape(d_model, nhead, hd),
+                    "bias": b.reshape(nhead, hd),
                 }
-        params[head] = hp
+            return {
+                "query": qkv(0),
+                "key": qkv(1),
+                "value": qkv(2),
+                "out": {
+                    "kernel": w_out.T.reshape(nhead, hd, d_model),
+                    "bias": b_out,
+                },
+            }
+
+        def ln(prefix):
+            return {"scale": np.asarray(t[f"{prefix}.weight"]), "bias": np.asarray(t[f"{prefix}.bias"])}
+
+        for head in ("sequence_classifier", "sequence_detector"):
+            tf = {
+                "input_norm": ln(f"{head}.layer_norm"),
+            }
+            for i in layer_ids:
+                prefix = f"{head}.model.layers.{i}"
+                tf[f"layer{i}"] = {
+                    "self_attn": mha(prefix),
+                    "norm1": ln(f"{prefix}.norm1"),
+                    "norm2": ln(f"{prefix}.norm2"),
+                    "ff1": {"kernel": _dense(t[f"{prefix}.linear1.weight"]), "bias": np.asarray(t[f"{prefix}.linear1.bias"])},
+                    "ff2": {"kernel": _dense(t[f"{prefix}.linear2.weight"]), "bias": np.asarray(t[f"{prefix}.linear2.bias"])},
+                }
+            params[head] = {"transformer": tf}
+    else:
+        num_lstm_layers = 0
+        for head in ("sequence_classifier", "sequence_detector"):
+            params[head] = {}
 
     # output heads (model.py:67-70)
     params["classifier"] = {"kernel": _dense(t["classifier.weight"]), "bias": t["classifier.bias"]}
@@ -105,7 +163,11 @@ def convert_state_dict(state: dict) -> tuple[dict, dict, int, dict]:
 
     num_class = int(t["classifier.weight"].shape[0])
     hidden = int(t["sequence_classifier.model.weight_hh_l0"].shape[1]) if lstm_keys else 0
-    info = {"num_layers": num_layers, "hidden_size": hidden}
+    info = {
+        "num_layers": num_lstm_layers if lstm_keys else (len(layer_ids) if tf_keys else 0),
+        "hidden_size": hidden,
+        "model_type": "bilstm" if lstm_keys else ("transformer" if tf_keys else "bilstm"),
+    }
     return params, stats, num_class, info
 
 
@@ -139,7 +201,7 @@ def main():
             "model_params": {
                 "num_class": num_class,
                 "sequence_model": {
-                    "model_type": "bilstm",
+                    "model_type": info["model_type"],
                     "num_layers": info["num_layers"],
                     "hidden_size": info["hidden_size"],
                 },
