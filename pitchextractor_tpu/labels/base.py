@@ -11,11 +11,27 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from typing import Dict, Optional
 
 import numpy as np
 
 LOGGER = logging.getLogger(__name__)
+
+
+def packaged_weights_path(filename: str) -> Optional[str]:
+    """Path to a weight file shipped in the repo-level ``weights/`` directory,
+    or None when absent.
+
+    The reference's neural labelers download published weights on demand
+    (torchcrepe, swift_f0 ONNX — f0_backends.py:184, 352-434); this framework
+    ships converted ``.npz`` weights in-tree so the labelers work out of the
+    box with the reference config (which enables only ``swiftf0``,
+    Configs/config.yml:124-132).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidate = os.path.normpath(os.path.join(here, "..", "..", "weights", filename))
+    return candidate if os.path.isfile(candidate) else None
 
 
 class BackendUnavailableError(RuntimeError):

@@ -30,7 +30,7 @@ from jax import lax
 
 import flax.linen as nn
 
-from .base import BackendUnavailableError
+from .base import BackendUnavailableError, packaged_weights_path
 from ..dsp.resample import resample_np
 
 CREPE_SAMPLE_RATE = 16000
@@ -146,6 +146,8 @@ class CrepeLabeler:
 
         if weights_path is None:
             weights_path = os.environ.get("PEX_CREPE_WEIGHTS")
+        if weights_path is None:
+            weights_path = packaged_weights_path(f"crepe_{capacity}.npz")
         if not weights_path or not os.path.isfile(str(weights_path)):
             raise BackendUnavailableError(
                 f"CREPE '{capacity}' weights not found "

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 import flax.linen as nn
 
-from .base import BackendUnavailableError
+from .base import BackendUnavailableError, packaged_weights_path
 from ..dsp.resample import resample_np
 from ..dsp.stft import stft_np
 
@@ -97,6 +97,8 @@ class SwiftF0Labeler:
 
         if weights_path is None:
             weights_path = os.environ.get("PEX_SWIFTF0_WEIGHTS")
+        if weights_path is None:
+            weights_path = packaged_weights_path("swiftf0.npz")
         if not weights_path or not os.path.isfile(str(weights_path)):
             raise BackendUnavailableError(
                 f"SwiftF0 weights not found (weights_path={weights_path!r}); "
