@@ -25,7 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _bench_train_step(batch_size=64, T=192, steps=20, warmup=3, seq_cfg=None):
+def _bench_train_step(
+    batch_size=64, T=192, steps=50, warmup=5, windows=3, seq_cfg=None
+):
+    """Median-of-windows training throughput with fresh host batches.
+
+    Hardened per round-1 review: >=50 timed steps per window, median of
+    ``windows`` back-to-back windows (the remote tunnel has ~±20% run-to-run
+    variance), and every step consumes a *different* host batch from a
+    rotating pool so the measurement pays the per-step host->device
+    transfer the real training loop pays.
+    """
     import jax
 
     from pitchextractor_tpu.models import JDCNet
@@ -56,30 +66,40 @@ def _bench_train_step(batch_size=64, T=192, steps=20, warmup=3, seq_cfg=None):
         max_mel_length=T,
     )
     rng = np.random.default_rng(0)
-    mels = rng.standard_normal((batch_size, 1, 80, T)).astype(np.float32)
-    f0 = np.abs(rng.standard_normal((batch_size, T))).astype(np.float32) * 200
-    sil = (f0 < 100).astype(np.float32)
-    batch = (mels, f0, sil)
+    pool = []
+    for _ in range(16):
+        mels = rng.standard_normal((batch_size, 1, 80, T)).astype(np.float32)
+        f0 = np.abs(rng.standard_normal((batch_size, T))).astype(np.float32) * 200
+        sil = (f0 < 100).astype(np.float32)
+        pool.append((mels, f0, sil))
 
     # NOTE: jax.block_until_ready does not synchronize through remote
     # transports (axon); force a device->host scalar fetch instead.
-    for _ in range(warmup):
-        metrics = trainer.run(batch)
+    for i in range(warmup):
+        metrics = trainer.run(pool[i % len(pool)])
     float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        metrics = trainer.run(batch)
-    float(metrics["loss"])  # sync on the full dependency chain
-    elapsed = time.perf_counter() - t0
+
+    window_rates = []
+    step_idx = 0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            metrics = trainer.run(pool[step_idx % len(pool)])
+            step_idx += 1
+        float(metrics["loss"])  # sync on the full dependency chain
+        window_rates.append(batch_size * steps / (time.perf_counter() - t0))
+
     n_chips = len(jax.devices())
-    utt_per_sec = batch_size * steps / elapsed
+    utt_per_sec = float(np.median(window_rates))
     return {
         "train_utt_per_sec": utt_per_sec,
         "train_utt_per_sec_per_chip": utt_per_sec / n_chips,
-        "train_step_ms": 1000.0 * elapsed / steps,
+        "train_step_ms": 1000.0 * batch_size / utt_per_sec,
+        "train_window_utt_per_sec": [round(r, 1) for r in window_rates],
         "n_chips": n_chips,
         "batch_size": batch_size,
         "frames": T,
+        "timed_steps": steps * windows,
     }
 
 

@@ -149,38 +149,28 @@ class HarmonicSynthesizer:
         return float(self.rng.uniform(self.pitch_min, self.pitch_max))
 
     def _sample_f0_curve(self, num_frames: int) -> np.ndarray:
-        """Piecewise-linear segments + probabilistic vibrato
-        (reference Utils/synthetic.py:155-191)."""
-        base = self._sample_pitch()
-        curve = np.full(num_frames, base, dtype=np.float64)
-
+        """Random piecewise-linear contour with probabilistic semitone
+        vibrato — the trajectory family of the reference's curve sampler
+        (Utils/synthetic.py:155-191), re-derived: a single-segment draw is a
+        flat contour; a multi-segment draw places its interior breakpoints
+        as sorted uniform frame fractions and evaluates the whole polyline
+        with one vectorized ``np.interp`` instead of per-segment splicing.
+        """
         max_segments = max(1, int(self.modulation.max_segments))
-        num_segments = int(self.rng.integers(1, max_segments + 1))
-        if num_segments > 1 and num_frames > 2:
-            available = max(1, num_frames - 1)
-            k = min(num_segments - 1, available - 1)
-            if k > 0:
-                positions = sorted(
-                    self.rng.choice(np.arange(1, available), size=k, replace=False).tolist()
-                )
-            else:
-                positions = []
-            positions = [0] + positions + [num_frames - 1]
-            segment_values = [self._sample_pitch() for _ in range(len(positions))]
-            for idx in range(len(positions) - 1):
-                start, end = positions[idx], positions[idx + 1]
-                if end <= start:
-                    continue
-                interp = np.linspace(segment_values[idx], segment_values[idx + 1], end - start + 1)
-                curve[start : end + 1] = interp
+        n_segments = int(self.rng.integers(1, max_segments + 1))
+        if n_segments == 1 or num_frames <= 2:
+            curve = np.full(num_frames, self._sample_pitch(), dtype=np.float64)
+        else:
+            interior = np.sort(self.rng.uniform(0.0, 1.0, size=n_segments - 1))
+            node_frames = np.concatenate(([0.0], interior * (num_frames - 1), [num_frames - 1.0]))
+            node_pitch = np.array([self._sample_pitch() for _ in range(n_segments + 1)])
+            curve = np.interp(np.arange(num_frames, dtype=np.float64), node_frames, node_pitch)
 
-        if self.rng.random() < self.modulation.vibrato_probability:
-            depth = max(float(self.modulation.vibrato_semitones), 0.0)
-            if depth > 0:
-                rate = float(self.rng.uniform(*self.modulation.vibrato_rate_range))
-                t = np.arange(num_frames, dtype=np.float64) * (self.frame_period / 1000.0)
-                vibrato = np.sin(2.0 * math.pi * rate * t)
-                curve *= 2.0 ** (vibrato * (depth / 12.0))
+        depth_semitones = max(float(self.modulation.vibrato_semitones), 0.0)
+        if depth_semitones > 0 and self.rng.random() < self.modulation.vibrato_probability:
+            rate = float(self.rng.uniform(*self.modulation.vibrato_rate_range))
+            frame_t = np.arange(num_frames, dtype=np.float64) * (self.frame_period / 1000.0)
+            curve = curve * 2.0 ** (np.sin(2.0 * math.pi * rate * frame_t) * depth_semitones / 12.0)
         return curve
 
     # ------------------------------------------------------------------

@@ -1,17 +1,24 @@
-"""Pitch accuracy metrics.
+"""Pitch accuracy metrics, vectorized over contour batches.
 
-Canonical definitions from the reference eval suite
-(Utils/dynamic_pitch_tools.py:79-136 and the notebook ``compute_metrics``,
-dynamic_pitch_behavior.ipynb cell 5; SURVEY.md §2.13):
+Metric *definitions* follow the reference eval suite (the notebook
+``compute_metrics`` in Utils/dynamic_pitch_behavior.ipynb cell 5 and
+Utils/dynamic_pitch_tools.py:79-136; SURVEY.md §2.13):
 
-- RPA: |cents diff| <= 50 on reference-voiced frames
-- RCA: circular (mod 1200) cents distance <= 50
+- RPA: |cents diff| <= tolerance on reference-voiced frames
+- RCA: circular (mod 1200) cents distance <= tolerance
 - VUV: frame-wise voicing agreement accuracy
-- OctaveError: off by an exact non-zero octave (+-50 cents)
-- RMSE_cents, Lag_ms (cross-correlation), Overshoot_cents
+- OctaveError: off by an exact non-zero octave (± tolerance)
+- RMSE_cents; Lag_ms (argmax cross-correlation × frame period);
+  Overshoot_cents (peak past the final target, glide suite)
 
-Cents are referenced to 55 Hz, voicing decision is ``prediction >
-voicing_threshold_hz`` (10 Hz in the notebooks).
+The *implementation* is batch-first: every metric is computed for (N, T)
+reference/prediction stacks in one masked vectorized pass (no per-row
+Python, no boolean fancy-indexing), so a whole sweep's contours — produced
+by one batched device dispatch — score in one call.  Scalar wrappers keep
+the single-contour API.
+
+Cents are referenced to 55 Hz; the eval voicing rule is
+``prediction > voicing_threshold_hz`` (10 Hz in the notebooks).
 """
 
 from __future__ import annotations
@@ -25,106 +32,140 @@ DEFAULT_VOICING_THRESHOLD_HZ = 10.0
 
 
 def hz_to_cents(f0: np.ndarray) -> np.ndarray:
-    """(reference Utils/dynamic_pitch_tools.py:79-83)"""
-    f0 = np.asarray(f0)
-    cents = np.zeros_like(f0, dtype=np.float32)
-    positive = f0 > 0
-    cents[positive] = 1200.0 * np.log2(f0[positive] / CENTS_REF_HZ)
-    return cents
+    """Cents re 55 Hz; exact zeros (unvoiced) stay zero."""
+    f0 = np.asarray(f0, dtype=np.float64)
+    return np.where(f0 > 0, 1200.0 * np.log2(np.maximum(f0, 1e-12) / CENTS_REF_HZ), 0.0).astype(
+        np.float32
+    )
 
 
 def circular_cents_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(reference Utils/dynamic_pitch_tools.py:86-89)"""
-    diff = a - b
-    return np.mod(diff + 600.0, 1200.0) - 600.0
+    """Chroma distance folded to (-600, 600]."""
+    return np.mod(np.asarray(a) - np.asarray(b) + 600.0, 1200.0) - 600.0
 
 
+def _as_batch(reference: np.ndarray, prediction: np.ndarray):
+    """Align shapes: -> (N, T) float64 pairs truncated to the common T."""
+    ref = np.asarray(reference, dtype=np.float64)
+    pred = np.asarray(prediction, dtype=np.float64)
+    squeeze = ref.ndim == 1
+    if squeeze:
+        ref, pred = ref[None, :], pred[None, :]
+    t = min(ref.shape[1], pred.shape[1])
+    return ref[:, :t], pred[:, :t], squeeze
+
+
+def batch_metrics(
+    reference: np.ndarray,
+    prediction: np.ndarray,
+    voicing_threshold_hz: float = DEFAULT_VOICING_THRESHOLD_HZ,
+    tolerance_cents: float = 50.0,
+) -> Dict[str, np.ndarray]:
+    """(N, T) stacks -> {'RPA','RCA','VUV','OctaveError','RMSE_cents'}: (N,).
+
+    Rows with no reference-voiced frames get NaN accuracy (their VUV is
+    still defined), matching the reference's empty-voiced behavior.
+    """
+    ref, pred, _ = _as_batch(reference, prediction)
+    n, t = ref.shape
+    if t == 0:
+        nan = np.full((n,), np.nan)
+        return {"RPA": nan, "RCA": nan.copy(), "VUV": nan.copy(),
+                "OctaveError": nan.copy(), "RMSE_cents": nan.copy()}
+
+    voiced = ref > 0  # (N, T) mask; all statistics below are masked means
+    n_voiced = voiced.sum(axis=1)  # (N,)
+    denom = np.maximum(n_voiced, 1)
+
+    vuv = np.mean(voiced == (pred > voicing_threshold_hz), axis=1)
+
+    diff = hz_to_cents(np.clip(pred, 1e-5, None)).astype(np.float64) - hz_to_cents(
+        ref
+    ).astype(np.float64)
+    abs_diff = np.abs(diff)
+    chroma = np.abs(np.mod(diff + 600.0, 1200.0) - 600.0)
+    octaves = np.round(diff / 1200.0)
+    is_octave = (
+        (abs_diff > tolerance_cents)
+        & (octaves != 0)
+        & (np.abs(diff - octaves * 1200.0) <= tolerance_cents)
+    )
+
+    def masked_rate(hits):
+        return np.where(n_voiced > 0, (hits & voiced).sum(axis=1) / denom, np.nan)
+
+    rmse = np.where(
+        n_voiced > 0,
+        np.sqrt(np.sum(np.where(voiced, diff**2, 0.0), axis=1) / denom),
+        np.nan,
+    )
+    return {
+        "RPA": masked_rate(abs_diff <= tolerance_cents),
+        "RCA": masked_rate(chroma <= tolerance_cents),
+        "VUV": vuv,
+        "OctaveError": masked_rate(is_octave),
+        "RMSE_cents": rmse,
+    }
+
+
+def batch_tracking_delay_ms(
+    reference: np.ndarray, prediction: np.ndarray, frame_period_ms: float
+) -> np.ndarray:
+    """(N, T) -> (N,) lag estimates via FFT cross-correlation (one batched
+    transform instead of N host np.correlate loops)."""
+    ref, pred, _ = _as_batch(reference, prediction)
+    n, t = ref.shape
+    if t == 0:
+        return np.full((n,), np.nan)
+    rc = ref - ref.mean(axis=1, keepdims=True)
+    pc = pred - pred.mean(axis=1, keepdims=True)
+    degenerate = (np.abs(rc).max(axis=1) < 1e-12) | (np.abs(pc).max(axis=1) < 1e-12)
+    size = 2 * t - 1
+    nfft = 1 << (size - 1).bit_length()
+    corr = np.fft.irfft(
+        np.fft.rfft(pc, nfft, axis=1) * np.conj(np.fft.rfft(rc, nfft, axis=1)), nfft, axis=1
+    )
+    # lags -(t-1)..(t-1): index the circular correlation accordingly
+    lags = np.concatenate([np.arange(-(t - 1), 0) % nfft, np.arange(0, t)])
+    ordered = corr[:, lags]
+    lag = ordered.argmax(axis=1) - (t - 1)
+    return np.where(degenerate, np.nan, lag * float(frame_period_ms))
+
+
+def batch_overshoot_cents(reference: np.ndarray, prediction: np.ndarray) -> np.ndarray:
+    """(N, T) -> (N,) overshoot of the prediction peak past the reference's
+    final target (glide suite)."""
+    ref, pred, _ = _as_batch(reference, prediction)
+    if ref.shape[1] == 0:
+        return np.full((ref.shape[0],), np.nan)
+    target = ref[:, -1]
+    peak = pred.max(axis=1)
+    valid = (target > 0) & (peak > 0)
+    safe = 1200.0 * np.log2(np.maximum(peak, 1e-12) / np.maximum(target, 1e-12))
+    return np.where(valid, safe, np.nan)
+
+
+# --------------------------------------------------------- scalar wrappers
 def compute_metrics(
     reference: np.ndarray,
     prediction: np.ndarray,
     voicing_threshold_hz: float = DEFAULT_VOICING_THRESHOLD_HZ,
     tolerance_cents: float = 50.0,
 ) -> Dict[str, float]:
-    """RPA/RCA/VUV/OctaveError (notebook ``compute_metrics``)."""
-    length = min(reference.shape[0], prediction.shape[0])
-    reference = np.asarray(reference[:length], dtype=np.float64)
-    prediction = np.asarray(prediction[:length], dtype=np.float64)
-    ref_voiced = reference > 0
-    pred_voiced = prediction > voicing_threshold_hz
-    total_frames = length
-    voiced_frames = int(np.count_nonzero(ref_voiced))
-    vuv_accuracy = float(np.count_nonzero(ref_voiced == pred_voiced) / max(total_frames, 1))
-    if voiced_frames == 0:
-        return {
-            "RPA": float("nan"),
-            "RCA": float("nan"),
-            "VUV": vuv_accuracy,
-            "OctaveError": float("nan"),
-        }
-    ref_cents = hz_to_cents(reference[ref_voiced])
-    pred_cents = hz_to_cents(np.clip(prediction[ref_voiced], a_min=1e-5, a_max=None))
-    cents_diff = pred_cents - ref_cents
-    rpa_hits = np.abs(cents_diff) <= tolerance_cents
-    chroma_diff = circular_cents_distance(pred_cents, ref_cents)
-    rca_hits = np.abs(chroma_diff) <= tolerance_cents
-    octave_candidates = np.abs(cents_diff) > tolerance_cents
-    octave_numbers = np.round(cents_diff / 1200.0)
-    octave_errors = (
-        octave_candidates
-        & (octave_numbers != 0)
-        & (np.abs(cents_diff - octave_numbers * 1200.0) <= tolerance_cents)
-    )
-    return {
-        "RPA": float(np.count_nonzero(rpa_hits) / voiced_frames),
-        "RCA": float(np.count_nonzero(rca_hits) / voiced_frames),
-        "VUV": vuv_accuracy,
-        "OctaveError": float(np.count_nonzero(octave_errors) / voiced_frames),
-    }
+    """Single-contour RPA/RCA/VUV/OctaveError (notebook ``compute_metrics``)."""
+    out = batch_metrics(reference, prediction, voicing_threshold_hz, tolerance_cents)
+    return {k: float(out[k][0]) for k in ("RPA", "RCA", "VUV", "OctaveError")}
 
 
 def rms_cents_error(reference: np.ndarray, prediction: np.ndarray) -> float:
-    """(reference Utils/dynamic_pitch_tools.py:92-104)"""
-    length = min(reference.shape[0], prediction.shape[0])
-    if length == 0:
-        return float("nan")
-    ref = np.asarray(reference[:length], dtype=np.float64)
-    pred = np.asarray(prediction[:length], dtype=np.float64)
-    mask = ref > 0
-    if not np.any(mask):
-        return float("nan")
-    ref_cents = hz_to_cents(ref[mask])
-    pred_cents = hz_to_cents(np.clip(pred[mask], a_min=1e-5, a_max=None))
-    diff = pred_cents - ref_cents
-    return float(np.sqrt(np.mean(diff**2)))
+    return float(batch_metrics(reference, prediction)["RMSE_cents"][0])
 
 
 def estimate_tracking_delay_ms(
     reference: np.ndarray, prediction: np.ndarray, frame_period_ms: float
 ) -> float:
-    """(reference Utils/dynamic_pitch_tools.py:107-123)"""
-    length = min(reference.shape[0], prediction.shape[0])
-    if length == 0:
-        return float("nan")
-    ref = np.asarray(reference[:length], dtype=np.float64)
-    pred = np.asarray(prediction[:length], dtype=np.float64)
-    ref_centered = ref - np.mean(ref)
-    pred_centered = pred - np.mean(pred)
-    if np.allclose(ref_centered, 0) or np.allclose(pred_centered, 0):
-        return float("nan")
-    corr = np.correlate(pred_centered, ref_centered, mode="full")
-    lag = np.argmax(corr) - (length - 1)
-    return float(lag * frame_period_ms)
+    return float(batch_tracking_delay_ms(reference, prediction, frame_period_ms)[0])
 
 
 def compute_overshoot_cents(reference: np.ndarray, prediction: np.ndarray) -> float:
-    """(reference Utils/dynamic_pitch_tools.py:126-136)"""
-    length = min(reference.shape[0], prediction.shape[0])
-    if length == 0:
-        return float("nan")
-    ref = np.asarray(reference[:length], dtype=np.float64)
-    pred = np.asarray(prediction[:length], dtype=np.float64)
-    target = ref[-1]
-    peak = np.max(pred) if pred.size else 0.0
-    if target <= 0 or peak <= 0:
-        return float("nan")
-    return float(1200.0 * np.log2(peak / target))
+    return float(batch_overshoot_cents(reference, prediction)[0])

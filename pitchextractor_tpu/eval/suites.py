@@ -1,25 +1,30 @@
-"""Scripted robustness-evaluation suites.
+"""Scripted robustness-evaluation suites, batched end to end.
 
-1:1 replacements for the reference's six Jupyter notebooks (SURVEY.md §2.13),
-runnable headless as the integration test layer the reference lacks
-(SURVEY.md §4).  Every suite takes an ``F0Predictor`` and returns a list of
-metric rows (dicts); ``run_all`` writes one CSV per suite under an artifacts
-directory, matching the notebooks' CSV outputs.
+1:1 replacements for the reference's six Jupyter notebooks (SURVEY.md
+§2.13), runnable headless as the integration test layer the reference lacks
+(SURVEY.md §4).  TPU-first dataflow: each sweep synthesizes its whole
+stimulus grid as one on-device bank (``stimuli.render_bank``), applies host
+degradations where the notebook does (clipping/AGC/codecs/RIR/EQ/noise),
+runs **one batched inference dispatch per sweep**
+(``predictor.predict_f0_batch``), and scores all contours with the
+vectorized batch metrics — no per-stimulus host loops.
 
 Suites:
-- dynamic_pitch  vibrato sweep (rates × depths) + glide sweep
-                 (Utils/dynamic_pitch_behavior.ipynb)
-- amplitude      clean tones under sample clipping and AGC pumping sweeps
-                 (Utils/amplitude_pathologies.ipynb)
-- codec_bandwidth  resample round-trips 8-44.1 kHz; ffmpeg codecs when the
-                 binary exists on the host (Utils/codec_and_bandwidth_torture.ipynb)
-- room_mic       synthetic-RIR convolution (room categories × T60) and
-                 cascaded mic-EQ coloration (Utils/room_and_microphone_stress.ipynb)
+- dynamic_pitch     vibrato rate × depth sweep + glide sweep
+                    (Utils/dynamic_pitch_behavior.ipynb)
+- amplitude         clean tones under sample clipping and AGC pumping
+                    (Utils/amplitude_pathologies.ipynb)
+- codec_bandwidth   resample round-trips 8-44.1 kHz; ffmpeg codecs when the
+                    binary exists (Utils/codec_and_bandwidth_torture.ipynb)
+- room_mic          synthetic-RIR convolution (T60 grid) and cascaded
+                    mic-EQ coloration (Utils/room_and_microphone_stress.ipynb)
 - pitch_range_timbre  vocal registers × harmonic timbre profiles
-                 (Utils/pitch_range_and_timbre_coverage.ipynb)
-- noise          white/pink additive noise SNR sweep
-                 (Utils/noise_robustness_evaluation.ipynb — corrupted in the
-                 reference snapshot; reconstructed per its visible pattern)
+                    (Utils/pitch_range_and_timbre_coverage.ipynb)
+- noise             white/pink additive-noise SNR sweep
+                    (Utils/noise_robustness_evaluation.ipynb — corrupted in
+                    the reference snapshot; reconstructed per its pattern)
+- real_audio        degradations over a real eval list, reference contours
+                    from the training cascade (codec/room notebook design)
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ import os
 import shutil
 import subprocess
 import tempfile
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -42,16 +47,18 @@ from ..dsp.filters import (
 )
 from ..dsp.resample import resample_np
 from .metrics import (
-    compute_metrics,
-    compute_overshoot_cents,
-    estimate_tracking_delay_ms,
-    rms_cents_error,
+    batch_metrics,
+    batch_overshoot_cents,
+    batch_tracking_delay_ms,
 )
 from .stimuli import (
-    generate_glide_waveform,
-    generate_vibrato_waveform,
-    sample_reference_f0,
-    synthesize_from_f0_curve,
+    StimulusBank,
+    glide_bank,
+    harmonic_bank,
+    render_bank,
+    tone_bank,
+    vibrato_bank,
+    wander_curve,
 )
 
 DEFAULT_VIBRATO = {
@@ -82,70 +89,130 @@ DEFAULT_TIMBRES = [
 ]
 
 
-def _metric_row(reference, prediction, frame_period_ms=None, **tags) -> Dict:
-    row = dict(tags)
-    row.update(compute_metrics(reference, prediction))
-    row["RMSE_cents"] = rms_cents_error(reference, prediction)
-    if frame_period_ms is not None:
-        row["Lag_ms"] = estimate_tracking_delay_ms(reference, prediction, frame_period_ms)
-    return row
+# ------------------------------------------------------------------ engine
+def _predict_batch(predictor, waveforms: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """One batched dispatch when the predictor supports it."""
+    batched = getattr(predictor, "predict_f0_batch", None)
+    if batched is not None:
+        return batched(list(waveforms))
+    return [np.asarray(predictor.predict_f0(w)) for w in waveforms]
 
 
+def _score(
+    refs: Sequence[np.ndarray],
+    preds: Sequence[np.ndarray],
+    tags: Sequence[Dict],
+    frame_period_ms: Optional[float] = None,
+    overshoot: bool = False,
+) -> List[Dict]:
+    """Vectorized scoring: rows are grouped by contour length so each group
+    is one ``batch_metrics`` call over an (N, T) stack."""
+    rows: List[Optional[Dict]] = [None] * len(refs)
+    by_len: Dict[int, List[int]] = {}
+    for i, (r, p) in enumerate(zip(refs, preds)):
+        by_len.setdefault(min(len(r), len(p)), []).append(i)
+    for t, idxs in by_len.items():
+        ref = np.stack([np.asarray(refs[i][:t], dtype=np.float64) for i in idxs])
+        pred = np.stack([np.asarray(preds[i][:t], dtype=np.float64) for i in idxs])
+        metrics = batch_metrics(ref, pred)
+        lag = (
+            batch_tracking_delay_ms(ref, pred, frame_period_ms)
+            if frame_period_ms is not None
+            else None
+        )
+        over = batch_overshoot_cents(ref, pred) if overshoot else None
+        for j, i in enumerate(idxs):
+            row = dict(tags[i])
+            for key in ("RPA", "RCA", "VUV", "OctaveError", "RMSE_cents"):
+                row[key] = float(metrics[key][j])
+            if lag is not None:
+                row["Lag_ms"] = float(lag[j])
+            if over is not None:
+                row["Overshoot_cents"] = float(over[j])
+            rows[i] = row
+    return [row for row in rows if row is not None]
+
+
+def _run_bank(
+    predictor,
+    bank: StimulusBank,
+    tags: Sequence[Dict],
+    degrade=None,
+    frame_period_ms: Optional[float] = None,
+    overshoot: bool = False,
+) -> List[Dict]:
+    """Predict a whole bank in one dispatch and score it.
+
+    ``degrade``: optional per-row host transform (waveform, row_index) ->
+    waveform, applied between synthesis and prediction.
+    """
+    waves = bank.waveforms()
+    if degrade is not None:
+        waves = [degrade(w, i) for i, w in enumerate(waves)]
+    preds = _predict_batch(predictor, waves)
+    refs = [bank.frame_reference_row(i, len(preds[i])) for i in range(len(bank))]
+    return _score(refs, preds, tags, frame_period_ms=frame_period_ms, overshoot=overshoot)
+
+
+# ------------------------------------------------------------------ suites
 def dynamic_pitch_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
     config = config or {}
     sr = predictor.sample_rate
-    rows: List[Dict] = []
 
     vib = {**DEFAULT_VIBRATO, **(config.get("vibrato") or {})}
-    for rate in vib["rates_hz"]:
-        for depth in vib["depth_cents"]:
-            audio, t, f0_curve = generate_vibrato_waveform(
-                float(rate), float(depth), float(vib["base_frequency_hz"]),
-                float(vib["duration_seconds"]), sr,
-            )
-            prediction = predictor.predict_f0(audio)
-            reference = sample_reference_f0(t, f0_curve, prediction.shape[0])
-            rows.append(
-                _metric_row(reference, prediction, suite="vibrato", rate_hz=rate, depth_cents=depth)
-            )
+    bank, grid = vibrato_bank(
+        [float(r) for r in vib["rates_hz"]],
+        [float(d) for d in vib["depth_cents"]],
+        float(vib["base_frequency_hz"]),
+        float(vib["duration_seconds"]),
+        sr,
+    )
+    tags = [{"suite": "vibrato", **g} for g in grid]
+    rows = _run_bank(predictor, bank, tags)
 
     glide = {**DEFAULT_GLIDE, **(config.get("glide") or {})}
-    for duration in glide["durations_seconds"]:
-        audio, t, f0_curve = generate_glide_waveform(
-            float(duration), float(glide["start_hz"]), float(glide["end_hz"]), sr
-        )
-        prediction = predictor.predict_f0(audio)
-        reference = sample_reference_f0(t, f0_curve, prediction.shape[0])
-        row = _metric_row(
-            reference, prediction, frame_period_ms=predictor.frame_period_ms,
-            suite="glide", duration_s=duration,
-        )
-        row["Overshoot_cents"] = compute_overshoot_cents(reference, prediction)
-        rows.append(row)
+    gbank, gtags = glide_bank(
+        [float(d) for d in glide["durations_seconds"]],
+        float(glide["start_hz"]),
+        float(glide["end_hz"]),
+        sr,
+    )
+    rows += _run_bank(
+        predictor,
+        gbank,
+        [{"suite": "glide", **g} for g in gtags],
+        frame_period_ms=predictor.frame_period_ms,
+        overshoot=True,
+    )
     return rows
 
 
 def amplitude_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
     config = config or {}
     sr = predictor.sample_rate
-    tones = config.get("tones_hz", [110.0, 220.0, 440.0])
+    tones = [float(f) for f in config.get("tones_hz", [110.0, 220.0, 440.0])]
     clip_fractions = config.get("clip_fractions", [0.0, 0.01, 0.03, 0.05, 0.10])
     pump_depths = config.get("agc_depths_db", [0.0, 3.0, 6.0, 10.0])
     duration = float(config.get("duration_seconds", 2.0))
-    rows = []
-    for tone in tones:
-        t = np.arange(int(sr * duration)) / sr
-        f0_curve = np.full(len(t), tone)
-        audio = synthesize_from_f0_curve(f0_curve, sr)
+
+    base = tone_bank(tones, duration, sr)
+    # expand: every tone × every degradation is one row of a single batch
+    waves: List[np.ndarray] = []
+    refs_idx: List[int] = []
+    tags: List[Dict] = []
+    for i, tone in enumerate(tones):
+        clean = base.audio[i, : base.lengths[i]]
         for frac in clip_fractions:
-            pred = predictor.predict_f0(clip_audio(audio, float(frac)))
-            ref = sample_reference_f0(t.astype(np.float32), f0_curve, pred.shape[0])
-            rows.append(_metric_row(ref, pred, suite="clipping", tone_hz=tone, clip_fraction=frac))
+            waves.append(clip_audio(clean, float(frac)))
+            refs_idx.append(i)
+            tags.append({"suite": "clipping", "tone_hz": tone, "clip_fraction": frac})
         for depth in pump_depths:
-            pred = predictor.predict_f0(agc_pump(audio, sr, float(depth)))
-            ref = sample_reference_f0(t.astype(np.float32), f0_curve, pred.shape[0])
-            rows.append(_metric_row(ref, pred, suite="agc", tone_hz=tone, agc_depth_db=depth))
-    return rows
+            waves.append(agc_pump(clean, sr, float(depth)))
+            refs_idx.append(i)
+            tags.append({"suite": "agc", "tone_hz": tone, "agc_depth_db": depth})
+    preds = _predict_batch(predictor, waves)
+    refs = [base.frame_reference_row(refs_idx[k], len(preds[k])) for k in range(len(waves))]
+    return _score(refs, preds, tags)
 
 
 def _ffmpeg_roundtrip(audio: np.ndarray, sr: int, codec: str, bitrate_kbps: int) -> Optional[np.ndarray]:
@@ -185,27 +252,33 @@ def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict
     sr = predictor.sample_rate
     duration = float(config.get("duration_seconds", 2.0))
     target_rates = config.get("resample_rates", [8000, 16000, 22050, 32000, 44100])
-    codecs = config.get("codecs", [("libopus", 16), ("libopus", 64), ("libmp3lame", 32), ("libmp3lame", 128), ("aac", 32)])
+    codecs = config.get(
+        "codecs",
+        [("libopus", 16), ("libopus", 64), ("libmp3lame", 32), ("libmp3lame", 128), ("aac", 32)],
+    )
 
-    t = np.arange(int(sr * duration)) / sr
-    f0_curve = 196.0 * 2 ** (0.5 * np.sin(2 * np.pi * 0.8 * t))  # slow wander
-    audio = synthesize_from_f0_curve(f0_curve, sr)
-    baseline_pred = predictor.predict_f0(audio)
-    ref = sample_reference_f0(t.astype(np.float32), f0_curve.astype(np.float32), baseline_pred.shape[0])
+    curve = wander_curve(196.0, 0.5, 0.8, duration, sr)
+    bank = render_bank(curve, [len(curve)], sr)
+    clean = bank.audio[0]
 
-    rows = [_metric_row(ref, baseline_pred, suite="baseline", condition="clean")]
+    waves = [clean]
+    tags: List[Dict] = [{"suite": "baseline", "condition": "clean"}]
+    skipped: List[Dict] = []
     for rate in target_rates:
-        degraded = resample_np(resample_np(audio, sr, int(rate)), int(rate), sr)[: len(audio)]
-        pred = predictor.predict_f0(degraded)
-        rows.append(_metric_row(ref, pred, suite="bandwidth", condition=f"roundtrip_{rate}"))
+        waves.append(resample_np(resample_np(clean, sr, int(rate)), int(rate), sr)[: len(clean)])
+        tags.append({"suite": "bandwidth", "condition": f"roundtrip_{rate}"})
     for codec, kbps in codecs:
-        decoded = _ffmpeg_roundtrip(audio, sr, codec, int(kbps))
+        decoded = _ffmpeg_roundtrip(clean, sr, codec, int(kbps))
         if decoded is None:
-            rows.append({"suite": "codec", "condition": f"{codec}_{kbps}k", "skipped": "ffmpeg unavailable"})
+            skipped.append(
+                {"suite": "codec", "condition": f"{codec}_{kbps}k", "skipped": "ffmpeg unavailable"}
+            )
             continue
-        pred = predictor.predict_f0(decoded)
-        rows.append(_metric_row(ref, pred, suite="codec", condition=f"{codec}_{kbps}k"))
-    return rows
+        waves.append(decoded)
+        tags.append({"suite": "codec", "condition": f"{codec}_{kbps}k"})
+    preds = _predict_batch(predictor, waves)
+    refs = [bank.frame_reference_row(0, len(p)) for p in preds]
+    return _score(refs, preds, tags) + skipped
 
 
 def room_mic_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
@@ -223,21 +296,21 @@ def room_mic_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
                 {"center_freq": 120.0, "gain_db": 9.0}, {"center_freq": 5000.0, "gain_db": -6.0}]},
         ],
     )
-    t = np.arange(int(sr * duration)) / sr
-    f0_curve = 220.0 * 2 ** (0.3 * np.sin(2 * np.pi * 1.0 * t))
-    audio = synthesize_from_f0_curve(f0_curve, sr)
-    pred0 = predictor.predict_f0(audio)
-    ref = sample_reference_f0(t.astype(np.float32), f0_curve.astype(np.float32), pred0.shape[0])
+    curve = wander_curve(220.0, 0.3, 1.0, duration, sr)
+    bank = render_bank(curve, [len(curve)], sr)
+    clean = bank.audio[0]
 
-    rows = [_metric_row(ref, pred0, suite="baseline", condition="dry")]
+    waves = [clean]
+    tags: List[Dict] = [{"suite": "baseline", "condition": "dry"}]
     for i, t60 in enumerate(t60_grid):
-        rir = synthesize_rir(sr, float(t60), seed=i)
-        pred = predictor.predict_f0(apply_rir(audio, rir))
-        rows.append(_metric_row(ref, pred, suite="room", condition=f"t60_{t60}"))
+        waves.append(apply_rir(clean, synthesize_rir(sr, float(t60), seed=i)))
+        tags.append({"suite": "room", "condition": f"t60_{t60}"})
     for profile in mic_profiles:
-        pred = predictor.predict_f0(apply_microphone_eq(audio, sr, profile["stages"]))
-        rows.append(_metric_row(ref, pred, suite="microphone", condition=profile["name"]))
-    return rows
+        waves.append(apply_microphone_eq(clean, sr, profile["stages"]))
+        tags.append({"suite": "microphone", "condition": profile["name"]})
+    preds = _predict_batch(predictor, waves)
+    refs = [bank.frame_reference_row(0, len(p)) for p in preds]
+    return _score(refs, preds, tags)
 
 
 def pitch_range_timbre_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
@@ -247,28 +320,29 @@ def pitch_range_timbre_suite(predictor, config: Optional[Dict] = None) -> List[D
     registers = config.get("registers", DEFAULT_REGISTERS)
     timbres = config.get("timbres", DEFAULT_TIMBRES)
     rng = np.random.default_rng(int(config.get("seed", 0)))
-    rows = []
+
+    curves: List[np.ndarray] = []
+    partials: List[List[Tuple[int, float]]] = []
+    noise_db: List[Optional[float]] = []
+    tags: List[Dict] = []
     for reg in registers:
         base = float(np.exp(rng.uniform(np.log(reg["fmin"]), np.log(reg["fmax"]))))
-        t = np.arange(int(sr * duration)) / sr
-        f0_curve = base * 2 ** (0.1 * np.sin(2 * np.pi * 0.7 * t))
+        curve = wander_curve(base, 0.1, 0.7, duration, sr)
         for timbre in timbres:
-            phase = np.cumsum(2 * np.pi * f0_curve / sr)
-            audio = np.zeros(len(t))
-            for k, amp in timbre["partials"]:
-                if k * base < sr / 2:
-                    audio += amp * np.sin(k * phase)
-            peak = np.max(np.abs(audio))
-            audio = (0.7 * audio / peak if peak > 0 else audio).astype(np.float32)
-            if timbre.get("noise_snr_db") is not None:
-                audio = add_noise_snr(audio, float(timbre["noise_snr_db"]))
-            pred = predictor.predict_f0(audio)
-            ref = sample_reference_f0(t.astype(np.float32), f0_curve.astype(np.float32), pred.shape[0])
-            rows.append(
-                _metric_row(ref, pred, suite="pitch_range", register=reg["name"],
-                            timbre=timbre["name"], base_hz=round(base, 1))
+            curves.append(curve)
+            partials.append([(int(k), float(a)) for k, a in timbre["partials"]])
+            noise_db.append(timbre.get("noise_snr_db"))
+            tags.append(
+                {"suite": "pitch_range", "register": reg["name"],
+                 "timbre": timbre["name"], "base_hz": round(base, 1)}
             )
-    return rows
+
+    bank = harmonic_bank(np.stack(curves), partials, sr)
+
+    def degrade(wave, i):
+        return add_noise_snr(wave, float(noise_db[i])) if noise_db[i] is not None else wave
+
+    return _run_bank(predictor, bank, tags, degrade=degrade)
 
 
 def noise_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
@@ -277,26 +351,30 @@ def noise_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
     duration = float(config.get("duration_seconds", 2.0))
     snrs = config.get("snr_db", [30, 20, 10, 5, 0])
     colors = config.get("colors", ["white", "pink"])
-    t = np.arange(int(sr * duration)) / sr
-    f0_curve = np.full(len(t), 220.0) * 2 ** (0.2 * np.sin(2 * np.pi * 0.5 * t))
-    audio = synthesize_from_f0_curve(f0_curve, sr)
-    pred0 = predictor.predict_f0(audio)
-    ref = sample_reference_f0(t.astype(np.float32), f0_curve.astype(np.float32), pred0.shape[0])
-    rows = [_metric_row(ref, pred0, suite="baseline", condition="clean")]
+
+    curve = wander_curve(220.0, 0.2, 0.5, duration, sr)
+    bank = render_bank(curve, [len(curve)], sr)
+    clean = bank.audio[0]
+
+    waves = [clean]
+    tags: List[Dict] = [{"suite": "baseline", "condition": "clean"}]
     for color in colors:
         for snr in snrs:
-            pred = predictor.predict_f0(add_noise_snr(audio, float(snr), color=color))
-            rows.append(_metric_row(ref, pred, suite="noise", condition=f"{color}_snr{snr}"))
-    return rows
+            waves.append(add_noise_snr(clean, float(snr), color=color))
+            tags.append({"suite": "noise", "condition": f"{color}_snr{snr}"})
+    preds = _predict_batch(predictor, waves)
+    refs = [bank.frame_reference_row(0, len(p)) for p in preds]
+    return _score(refs, preds, tags)
 
 
 def real_audio_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
     """Degradation sweep over *real* audio from an eval list.
 
     Mirrors the reference codec/room notebooks' design (SURVEY.md §2.13):
-    the reference contour is the training labeler cascade run on the clean
+    the reference contour is the training labeler cascade on the clean
     audio (model-vs-labeler consistency under degradation, not absolute
-    truth), then each degradation is applied and re-predicted.
+    truth).  Cascade labels and model predictions both run as batched
+    device dispatches (EvalLabeler.contour_batch / predict_f0_batch).
     """
     config = config or {}
     eval_list = config.get("eval_list")
@@ -304,26 +382,22 @@ def real_audio_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
         return [{"suite": "real_audio", "skipped": f"eval_list not found: {eval_list}"}]
 
     from ..config import parse_data_list
-    from ..dsp.resample import resample_np as _resample
     from ..io import read_audio
     from ..io.audio import AudioDecodeError
-    from ..labels import build_f0_extractor
+    from .labeling import EvalLabeler
 
     sr = predictor.sample_rate
     hop = predictor.mel_params["hop_length"]
     max_files = int(config.get("max_files", 20))
-    f0_params = config.get("f0_params") or {}
-    extractor = build_f0_extractor(sr, hop, config=f0_params, verbose=False)
+    labeler = EvalLabeler(
+        mel_params={"sample_rate": sr, "hop_length": hop},
+        f0_params=config.get("f0_params") or {},
+    )
 
     with open(str(eval_list), "r", encoding="utf-8") as fh:
         paths = parse_data_list(fh.readlines())[:max_files]
 
-    snrs = config.get("snr_db", [20, 10])
-    t60s = config.get("t60_grid", [0.3])
-    rates = config.get("resample_rates", [8000, 16000])
-
-    rows: List[Dict] = []
-    agg: Dict[str, List[Dict]] = {}
+    waves: List[np.ndarray] = []
     for path in paths:
         try:
             wave, wsr = read_audio(path)
@@ -333,27 +407,40 @@ def real_audio_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
             wave = np.mean(wave, axis=-1)
         wave = wave.astype(np.float32)
         if wsr != sr:
-            wave = _resample(wave, wsr, sr)
-        try:
-            reference = extractor.compute(wave, sr).f0.astype(np.float32)
-        except Exception:
-            continue
-        conditions = [("clean", wave)]
-        for snr in snrs:
-            conditions.append((f"noise_snr{snr}", add_noise_snr(wave, float(snr))))
-        for t60 in t60s:
-            conditions.append((f"rir_t60_{t60}", apply_rir(wave, synthesize_rir(sr, float(t60)))))
-        for rate in rates:
-            rt = resample_np(resample_np(wave, sr, int(rate)), int(rate), sr)[: len(wave)]
-            conditions.append((f"roundtrip_{rate}", rt))
-        for name, degraded in conditions:
-            pred = predictor.predict_f0(degraded)
-            ref = extractor.align_length(reference, pred.shape[0])
-            agg.setdefault(name, []).append(compute_metrics(ref, pred))
-    for name, metric_rows in agg.items():
-        row: Dict = {"suite": "real_audio", "condition": name, "files": len(metric_rows)}
+            wave = resample_np(wave, wsr, sr)
+        waves.append(wave)
+    if not waves:
+        return [{"suite": "real_audio", "skipped": "no readable files"}]
+
+    references = labeler.contour_batch(waves)
+
+    snrs = config.get("snr_db", [20, 10])
+    t60s = config.get("t60_grid", [0.3])
+    rates = config.get("resample_rates", [8000, 16000])
+    conditions = [("clean", lambda w: w)]
+    conditions += [
+        (f"noise_snr{snr}", lambda w, s=snr: add_noise_snr(w, float(s))) for snr in snrs
+    ]
+    conditions += [
+        (f"rir_t60_{t60}", lambda w, t=t60: apply_rir(w, synthesize_rir(sr, float(t))))
+        for t60 in t60s
+    ]
+    conditions += [
+        (
+            f"roundtrip_{rate}",
+            lambda w, r=rate: resample_np(resample_np(w, sr, int(r)), int(r), sr)[: len(w)],
+        )
+        for rate in rates
+    ]
+
+    rows: List[Dict] = []
+    for name, fn in conditions:
+        preds = _predict_batch(predictor, [fn(w) for w in waves])
+        refs = [labeler.extractor.align_length(r, len(p)) for r, p in zip(references, preds)]
+        per_file = _score(refs, preds, [{} for _ in preds])
+        row: Dict = {"suite": "real_audio", "condition": name, "files": len(per_file)}
         for key in ("RPA", "RCA", "VUV", "OctaveError"):
-            vals = [m[key] for m in metric_rows if not np.isnan(m[key])]
+            vals = [m[key] for m in per_file if not np.isnan(m[key])]
             row[key] = float(np.mean(vals)) if vals else float("nan")
         rows.append(row)
     return rows

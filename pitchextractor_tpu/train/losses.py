@@ -33,3 +33,25 @@ def jdc_loss(f0_pred, voicing_pred, f0, silence, lambda_f0: float = 0.1):
     loss_f0 = lambda_f0 * smooth_l1_loss(f0_pred, f0)
     loss_sil = bce_with_logits_loss(voicing_pred, silence)
     return loss_f0 + loss_sil, loss_f0, loss_sil
+
+
+def jdc_loss_masked(f0_pred, voicing_pred, f0, silence, lambda_f0, row_weight):
+    """``jdc_loss`` with a per-row weight (B,) excluding padded batch rows.
+
+    Eval batches are padded to a mesh multiple by repeating the last sample
+    (Trainer._put_batch); averaging over the padded batch would give the
+    duplicated rows full weight.  With equal-length rows the reference's
+    all-element mean equals the mean of per-row means, so weighting per-row
+    means by ``row_weight`` is exact.
+    """
+    f0_pred = jnp.squeeze(f0_pred, axis=-1) if f0_pred.shape[-1] == 1 else f0_pred
+    w = row_weight / jnp.maximum(jnp.sum(row_weight), 1e-9)
+
+    diff = jnp.abs(f0_pred - f0)
+    sl1_rows = jnp.mean(jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5), axis=-1)
+    loss_f0 = lambda_f0 * jnp.sum(w * sl1_rows)
+
+    x, z = voicing_pred, silence
+    bce = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    loss_sil = jnp.sum(w * jnp.mean(bce, axis=-1))
+    return loss_f0 + loss_sil, loss_f0, loss_sil

@@ -41,7 +41,7 @@ from ..dsp.mel import MEL_LOG_OFFSET, MEL_MEAN, MEL_STD, mel_spectrogram_gemm
 from ..parallel.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
 from ..parallel.sharding import infer_param_shardings, place_params
 from . import checkpoint as ckpt_lib
-from .losses import jdc_loss
+from .losses import jdc_loss, jdc_loss_masked
 
 logger = logging.getLogger(__name__)
 
@@ -231,31 +231,42 @@ class Trainer:
         forward, lambda_f0 = self._apply_fn()
         matmul_precision = "bfloat16" if self.use_mixed_precision else "highest"
 
-        def eval_step(params, batch_stats, mels, f0, sil):
+        def eval_step(params, batch_stats, mels, f0, sil, valid):
             with jax.default_matmul_precision(matmul_precision):
                 x = self._features(mels)
                 f0_pred, sil_pred, _ = forward(
                     params, batch_stats, x, jax.random.PRNGKey(0), False
                 )
-                loss, loss_f0, loss_sil = jdc_loss(f0_pred, sil_pred, f0, sil, lambda_f0)
+                loss, loss_f0, loss_sil = jdc_loss_masked(
+                    f0_pred, sil_pred, f0, sil, lambda_f0, valid
+                )
                 return {"loss": loss, "f0": loss_f0, "sil": loss_sil}
 
         return jax.jit(eval_step)
 
     # ------------------------------------------------------------------
     def _put_batch(self, batch):
+        """-> (mels, f0s, sils, valid) on device; ``valid`` is a (B,) float
+        mask that is 0 on rows added to pad the batch to a mesh multiple
+        (drop_last loaders avoid padding on the train path; eval tails land
+        here and the pad rows are masked out of the eval means)."""
         mels, f0s, sils = batch
         n_dev = self.mesh.devices.size
         b = mels.shape[0]
+        valid = np.ones((b,), dtype=np.float32)
         if b % n_dev:
-            # pad the batch up to a multiple of the mesh (drop_last loaders
-            # avoid this on the train path; eval tails land here)
             pad = n_dev - b % n_dev
             mels = np.concatenate([mels, np.repeat(mels[-1:], pad, axis=0)])
             f0s = np.concatenate([f0s, np.repeat(f0s[-1:], pad, axis=0)])
             sils = np.concatenate([sils, np.repeat(sils[-1:], pad, axis=0)])
+            valid = np.concatenate([valid, np.zeros((pad,), dtype=np.float32)])
         put = partial(jax.device_put, device=self._batch_sharding)
-        return put(np.asarray(mels)), put(np.asarray(f0s)), put(np.asarray(sils))
+        return (
+            put(np.asarray(mels)),
+            put(np.asarray(f0s)),
+            put(np.asarray(sils)),
+            put(valid),
+        )
 
     def run(self, batch) -> Dict[str, Any]:
         """One optimization step (reference trainer.py:219-252).
@@ -264,7 +275,7 @@ class Trainer:
         device->host round-trip on every step (expensive over remote
         transports); the epoch loops stack and fetch them once per epoch.
         """
-        mels, f0s, sils = self._put_batch(batch)
+        mels, f0s, sils, _ = self._put_batch(batch)
         s = self.state
         params, stats, opt_state, steps, metrics = self._train_step(
             s.params, s.batch_stats, s.opt_state, s.steps, mels, f0s, sils
@@ -325,15 +336,19 @@ class Trainer:
     def _eval_epoch(self) -> Dict[str, float]:
         """(reference trainer.py:267-291)"""
         eval_losses = defaultdict(list)
+        weights = []
         for batch in self._progress(self.val_dataloader, "[eval]"):
-            mels, f0s, sils = self._put_batch(batch)
+            mels, f0s, sils, valid = self._put_batch(batch)
             metrics = self._eval_step(
-                self.state.params, self.state.batch_stats, mels, f0s, sils
+                self.state.params, self.state.batch_stats, mels, f0s, sils, valid
             )
+            weights.append(batch[0].shape[0])
             for key, value in metrics.items():
                 eval_losses[f"eval/{key}"].append(value)
+        # batch means weighted by true (unpadded) batch sizes
+        w = np.asarray(weights, dtype=np.float64)
         return {
-            key: float(np.mean(np.asarray(jnp.stack(value))))
+            key: float(np.average(np.asarray(jnp.stack(value)), weights=w))
             for key, value in eval_losses.items()
         }
 

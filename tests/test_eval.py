@@ -158,33 +158,98 @@ def test_run_all_writes_csvs(tmp_path):
     assert len(results["dynamic_pitch"]) == 2
 
 
-def test_eval_labeling_helpers(tmp_path):
-    from pitchextractor_tpu.eval.labeling import (
-        build_eval_f0_extractor,
-        compute_f0_for_eval,
-        ensure_mono,
-        load_training_config,
-        resample_audio,
-        resolve_dataset_params,
-    )
+def test_eval_labeler(tmp_path):
+    from pitchextractor_tpu.eval.labeling import EvalLabeler
 
-    assert load_training_config(None) == {}
-    assert load_training_config(str(tmp_path / "missing.yml")) == {}
     cfg_path = tmp_path / "c.yml"
-    cfg_path.write_text("dataset_params:\n  mel_params:\n    sample_rate: 24000\n  f0_params:\n    bad_f0_threshold: 5\n")
-    cfg = load_training_config(str(cfg_path))
-    mel_params, f0_params = resolve_dataset_params(cfg)
-    assert mel_params["sample_rate"] == 24000 and f0_params["bad_f0_threshold"] == 5
+    cfg_path.write_text(
+        "dataset_params:\n  mel_params:\n    sample_rate: 24000\n"
+        "  f0_params:\n    bad_f0_threshold: 5\n"
+    )
+    labeler = EvalLabeler.from_config(str(cfg_path))
+    assert labeler.sample_rate == 24000 and labeler.hop_length == 300
+    # missing configs fall back to defaults
+    assert EvalLabeler.from_config(str(tmp_path / "missing.yml")).sample_rate == 24000
 
-    stereo = np.ones((10, 2))
-    assert ensure_mono(stereo).shape == (10,)
-    x = np.sin(2 * np.pi * 220 * np.arange(48000) / 48000).astype(np.float32)
-    assert abs(len(resample_audio(x, 48000, 24000)) - 24000) <= 1
-
-    extractor = build_eval_f0_extractor(mel_params, f0_params, fallback_sr=24000, fallback_hop=300)
-    tone = (0.5 * np.sin(2 * np.pi * 220 * np.arange(24000) / 24000)).astype(np.float32)
-    result = compute_f0_for_eval(tone, 24000, extractor, target_frames=81)
-    assert result.f0.shape == (81,)
-    assert result.backend_name == "jax_ac"
-    voiced = result.f0[result.f0 > 0]
+    # mono downmix + resample happen internally; target_frames alignment
+    t48 = np.arange(48000) / 48000
+    stereo = np.stack([np.sin(2 * np.pi * 220 * t48)] * 2, axis=1).astype(np.float32)
+    f0 = labeler.contour(stereo, sr=48000, target_frames=81)
+    assert f0.shape == (81,)
+    voiced = f0[f0 > 0]
     assert np.median(np.abs(1200 * np.log2(voiced / 220.0))) < 20
+
+
+def test_eval_labeler_batch_matches_single():
+    from pitchextractor_tpu.eval.labeling import EvalLabeler
+
+    labeler = EvalLabeler(mel_params={"sample_rate": SR, "hop_length": 300})
+    t = np.arange(int(SR * 1.2)) / SR
+    waves = [
+        (0.5 * np.sin(2 * np.pi * f * t[: int(SR * d)])).astype(np.float32)
+        for f, d in [(220.0, 1.2), (330.0, 0.9)]
+    ]
+    batch = labeler.contour_batch(waves)
+    assert len(batch) == 2
+    for wave, contour in zip(waves, batch):
+        single = labeler.contour(wave)
+        n = min(len(single), len(contour))
+        voiced = (single[:n] > 0) & (contour[:n] > 0)
+        cents = np.abs(1200 * np.log2(contour[:n][voiced] / single[:n][voiced]))
+        assert np.median(cents) < 10
+
+
+def test_batch_metrics_match_scalar_loop():
+    from pitchextractor_tpu.eval import batch_metrics, compute_metrics
+
+    rng = np.random.default_rng(0)
+    ref = np.where(rng.random((5, 40)) < 0.8, rng.uniform(80, 500, (5, 40)), 0.0)
+    pred = ref * 2.0 ** (rng.normal(0, 0.2, ref.shape))
+    batch = batch_metrics(ref, pred)
+    for i in range(ref.shape[0]):
+        single = compute_metrics(ref[i], pred[i])
+        for key, value in single.items():
+            np.testing.assert_allclose(batch[key][i], value, atol=1e-12)
+
+
+def test_batch_tracking_delay_matches_npcorrelate():
+    from pitchextractor_tpu.eval import batch_tracking_delay_ms
+
+    rng = np.random.default_rng(1)
+    t = np.arange(200) / 80.0
+    ref = np.stack([220 + 20 * np.sin(2 * np.pi * r * t) for r in (0.7, 1.0, 1.4)])
+    pred = np.stack([np.roll(row, d) for row, d in zip(ref, (2, 3, 5))])
+    lags = batch_tracking_delay_ms(ref, pred, frame_period_ms=12.5)
+    for i, row in enumerate(ref):
+        rc = row - row.mean()
+        pc = pred[i] - pred[i].mean()
+        corr = np.correlate(pc, rc, mode="full")
+        expected = (np.argmax(corr) - (len(row) - 1)) * 12.5
+        np.testing.assert_allclose(lags[i], expected, atol=1e-9)
+
+
+def test_stimulus_banks_match_scalar_generators():
+    from pitchextractor_tpu.eval import glide_bank, tone_bank, vibrato_bank
+
+    bank, tags = vibrato_bank([4.0, 6.0], [60.0], 220.0, 0.5, SR)
+    assert len(bank) == 2 and tags[0] == {"rate_hz": 4.0, "depth_cents": 60.0}
+    for i in range(2):
+        audio, t, f0 = generate_vibrato_waveform(
+            tags[i]["rate_hz"], tags[i]["depth_cents"], 220.0, 0.5, SR
+        )
+        np.testing.assert_allclose(bank.audio[i], audio, atol=1e-5)
+        np.testing.assert_allclose(bank.f0[i], f0, rtol=1e-5)
+
+    gbank, gtags = glide_bank([0.3, 0.5], 60.0, 500.0, SR)
+    assert gbank.audio.shape[1] == int(0.5 * SR)
+    # shorter row is silent past its true length and faded before it
+    short = gbank.waveforms()[0]
+    assert len(short) == int(0.3 * SR)
+    assert np.all(gbank.audio[0, int(0.3 * SR):] == 0.0)
+    audio, _, _ = generate_glide_waveform(0.3, 60.0, 500.0, SR)
+    np.testing.assert_allclose(short, audio, atol=1e-5)
+
+    tbank = tone_bank([110.0, 220.0], 0.4, SR)
+    ref = tbank.frame_reference(33)
+    np.testing.assert_allclose(ref[0], 110.0, rtol=1e-5)
+    np.testing.assert_allclose(ref[1], 220.0, rtol=1e-5)

@@ -159,6 +159,23 @@ def test_eval_batch_padding_to_mesh():
     assert np.isfinite(ev["eval/loss"])
 
 
+def test_eval_padding_does_not_bias_means():
+    """Padded (repeated) rows must be excluded from eval means: a ragged
+    tail batch padded to the mesh multiple scores identically to the same
+    rows evaluated unpadded on a single-device mesh."""
+    batches = _synthetic_batches(n_batches=1, B=16)
+    tail = tuple(a[:5] for a in batches[0])  # 5 rows -> 3 pad rows on mesh=8
+
+    mesh8 = make_mesh()
+    padded = _tiny_trainer(batches, [tail], mesh=mesh8)._eval_epoch()
+
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    exact = _tiny_trainer(batches, [tail], mesh=mesh1)._eval_epoch()
+
+    for key in ("eval/loss", "eval/f0", "eval/sil"):
+        np.testing.assert_allclose(padded[key], exact[key], rtol=1e-4)
+
+
 # -------------------------------------------------------------- checkpoint
 def test_checkpoint_roundtrip(tmp_path):
     batches = _synthetic_batches(n_batches=1)

@@ -1,0 +1,464 @@
+#!/usr/bin/env python
+"""Trained-model accuracy parity: PyTorch reference vs this framework.
+
+BASELINE.md's driver-set target is "RPA and voicing-F1 within 0.5% of the
+PyTorch reference".  Round 1 proved *forward* parity on converted weights;
+this experiment proves *trained* parity: both stacks train on the identical
+corpus, identical cached F0 labels (analytic ground truth written in the
+dataset's cache format), and the *identical realized batch stream* (dumped
+to disk once and replayed into both trainers), then both are evaluated with
+identical chunked inference + metrics on held-out files.
+
+The reference's own data layer cannot run in this image (torchaudio and
+soundfile are not installed), so its model/trainer/optimizer stack
+(/root/reference/model.py, trainer.py:219-252, optimizers.py:50-76 — pure
+torch, importable) consumes batches produced by this framework's pipeline.
+That is exactly the comparison that matters: same inputs, two training
+stacks, compare trained-model accuracy.
+
+Stages (run in order; each is resumable / independently re-runnable):
+  python tools/parity_experiment.py gen        --root results/round2/parity_data
+  python tools/parity_experiment.py train-torch --root ... --out results/round2/torch_run
+  python tools/parity_experiment.py train-jax   --root ... --out results/round2/jax_run
+  python tools/parity_experiment.py evaluate    --root ... --torch-run ... --jax-run ...
+                                                --csv results/round2/parity.csv
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+import numpy as np
+
+SR = 24000
+HOP = 300
+N_MELS = 80
+T_FRAMES = 192
+BATCH = 16
+EPOCHS = 50
+N_TRAIN = 160
+N_VAL = 32
+LR = 3e-4  # reference Configs/config.yml:28
+# identical model config on both sides; 2 BiLSTM layers keep the torch-CPU
+# run tractable in this 1-core image (4-layer default: ~14 s/step)
+SEQ_CFG = {"model_type": "bilstm", "num_layers": 2, "dropout": 0.1}
+MEL_PARAMS = {
+    "sample_rate": SR,
+    "n_fft": 1024,
+    "win_length": 1024,
+    "hop_length": HOP,
+    "n_mels": N_MELS,
+}
+
+
+def _force_cpu_jax():
+    os.environ.setdefault("XLA_FLAGS", "")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+# --------------------------------------------------------------------- corpus
+def _synth_utterance(rng: np.random.Generator, duration_s: float):
+    """Harmonic utterance with silence head/tail and exact analytic F0.
+
+    Returns (waveform float32, full-file frame contour float32 at HOP)."""
+    n = int(SR * duration_s)
+    t = np.arange(n) / SR
+
+    lead = rng.uniform(0.10, 0.35)
+    trail = rng.uniform(0.10, 0.35)
+    voiced = (t >= lead) & (t <= duration_s - trail)
+
+    # piecewise log-linear F0 with optional vibrato
+    n_nodes = int(rng.integers(2, 5))
+    node_t = np.sort(rng.uniform(0, duration_s, n_nodes))
+    node_t[0], node_t[-1] = 0.0, duration_s
+    node_f = np.exp(rng.uniform(np.log(110.0), np.log(450.0), n_nodes))
+    f0 = np.interp(t, node_t, node_f)
+    if rng.random() < 0.5:
+        rate = rng.uniform(4.0, 7.0)
+        depth = rng.uniform(20.0, 80.0)
+        f0 = f0 * 2.0 ** ((depth / 1200.0) * np.sin(2 * np.pi * rate * t))
+
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    n_partials = int(rng.integers(3, 8))
+    rolloff = rng.uniform(0.35, 0.75)
+    x = np.zeros(n)
+    for k in range(1, n_partials + 1):
+        if k * f0.max() < SR / 2:
+            x += (rolloff ** (k - 1)) * np.sin(k * phase)
+    x *= voiced.astype(np.float64)
+    peak = np.abs(x).max()
+    if peak > 0:
+        x *= rng.uniform(0.3, 0.6) / peak
+    x += rng.uniform(1e-4, 3e-3) * rng.standard_normal(n)
+
+    n_frames = int(np.ceil(n / HOP)) + 2
+    frame_t = np.minimum(np.arange(n_frames) * HOP, n - 1) / SR
+    contour = np.interp(frame_t, t, f0)
+    frame_voiced = (frame_t >= lead) & (frame_t <= duration_s - trail)
+    contour = np.where(frame_voiced, contour, 0.0)
+    return x.astype(np.float32), contour.astype(np.float32)
+
+
+def stage_gen(root: str, seed: int = 7) -> None:
+    _force_cpu_jax()
+    from pitchextractor_tpu.data import build_dataloader
+    from pitchextractor_tpu.io import write_wav
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    lists = {"train": [], "val": []}
+    for split, count in (("train", N_TRAIN), ("val", N_VAL)):
+        for i in range(count):
+            path = os.path.join(root, f"{split}_{i:03d}.wav")
+            wav, contour = _synth_utterance(rng, rng.uniform(2.4, 3.2))
+            write_wav(path, wav, SR)
+            # legacy-format cache: loaded verbatim by both pipelines, so the
+            # "labels" are the analytic truth and identical by construction
+            np.save(path + "_f0.npy", contour)
+            lists[split].append(path)
+    for split in lists:
+        with open(os.path.join(root, f"{split}_list.txt"), "w") as fh:
+            fh.writelines(p + "|x\n" for p in lists[split])
+
+    # dump the realized batch stream once; both trainers replay it
+    dataset_config = {
+        "mel_params": MEL_PARAMS,
+        "f0_params": {},
+        "verbose": False,
+        "seed": seed,
+    }
+    loader = build_dataloader(
+        [p + "|x" for p in lists["train"]],
+        validation=False,
+        batch_size=BATCH,
+        num_workers=1,
+        dataset_config=dataset_config,
+    )
+    val_loader = build_dataloader(
+        [p + "|x" for p in lists["val"]],
+        validation=True,
+        batch_size=BATCH,
+        num_workers=1,
+        dataset_config=dict(dataset_config),
+    )
+    batch_dir = os.path.join(root, "batches")
+    os.makedirs(batch_dir, exist_ok=True)
+    t0 = time.time()
+    n_steps = 0
+    for epoch in range(EPOCHS):
+        for step, (mels, f0s, sils) in enumerate(loader):
+            np.savez(
+                os.path.join(batch_dir, f"ep{epoch:03d}_s{step:02d}.npz"),
+                mels=mels.astype(np.float32),
+                f0=f0s.astype(np.float32),
+                sil=sils.astype(np.float32),
+            )
+            n_steps += 1
+        if epoch == 0:
+            for step, (mels, f0s, sils) in enumerate(val_loader):
+                np.savez(
+                    os.path.join(batch_dir, f"val_s{step:02d}.npz"),
+                    mels=mels.astype(np.float32),
+                    f0=f0s.astype(np.float32),
+                    sil=sils.astype(np.float32),
+                )
+    meta = {
+        "epochs": EPOCHS,
+        "batch": BATCH,
+        "steps": n_steps,
+        "steps_per_epoch": n_steps // EPOCHS,
+        "seq_cfg": SEQ_CFG,
+        "lr": LR,
+        "seed": seed,
+    }
+    with open(os.path.join(root, "meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    print(f"gen done: {n_steps} train steps dumped in {time.time() - t0:.0f}s")
+
+
+def _batch_files(root: str):
+    meta = json.load(open(os.path.join(root, "meta.json")))
+    files = sorted(glob.glob(os.path.join(root, "batches", "ep*.npz")))
+    assert len(files) == meta["steps"], (len(files), meta["steps"])
+    return meta, files
+
+
+# ---------------------------------------------------------------- torch side
+def stage_train_torch(root: str, out: str) -> None:
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    import model as ref_model  # /root/reference/model.py
+    import optimizers as ref_optimizers
+    import trainer as ref_trainer
+
+    torch.manual_seed(0)
+    meta, files = _batch_files(root)
+    os.makedirs(out, exist_ok=True)
+
+    net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
+    optimizer, scheduler = ref_optimizers.build_optimizer(
+        {
+            "params": net.parameters(),
+            "optimizer_params": {"lr": meta["lr"]},
+            "scheduler_params": {
+                "max_lr": meta["lr"],
+                "epochs": meta["epochs"],
+                "steps_per_epoch": meta["steps_per_epoch"],
+            },
+        }
+    )
+    trainer = ref_trainer.Trainer(
+        model=net,
+        criterion={"l1": torch.nn.SmoothL1Loss(), "ce": torch.nn.BCEWithLogitsLoss()},
+        optimizer=optimizer,
+        scheduler=scheduler,
+        loss_config={"lambda_f0": 0.1},
+        device=torch.device("cpu"),
+        use_mixed_precision=False,
+    )
+
+    # resumable: full state saved every 25 steps so the run survives kills
+    resume_path = os.path.join(out, "resume.pth")
+    start = 0
+    if os.path.isfile(resume_path):
+        snap = torch.load(resume_path, map_location="cpu")
+        net.load_state_dict(snap["model"])
+        optimizer.load_state_dict(snap["optimizer"])
+        scheduler.load_state_dict(snap["scheduler"])
+        start = int(snap["step"])
+        print(f"resuming from step {start}", flush=True)
+
+    log_path = os.path.join(out, "train_log.jsonl")
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        for i in range(start, len(files)):
+            data = np.load(files[i])
+            batch = [
+                torch.from_numpy(data["mels"]),
+                torch.from_numpy(data["f0"]),
+                torch.from_numpy(data["sil"]),
+            ]
+            net.train()
+            losses = trainer.run(batch)
+            if (i + 1) % 10 == 0:
+                rec = {"step": i + 1, "elapsed_s": round(time.time() - t0, 1), **losses}
+                log.write(json.dumps(rec) + "\n")
+                log.flush()
+                print(rec, flush=True)
+            if (i + 1) % 25 == 0 or i + 1 == len(files):
+                torch.save(
+                    {
+                        "model": net.state_dict(),
+                        "optimizer": optimizer.state_dict(),
+                        "scheduler": scheduler.state_dict(),
+                        "step": i + 1,
+                    },
+                    resume_path,
+                )
+    torch.save(net.state_dict(), os.path.join(out, "model.pth"))
+    print(f"train-torch done: {len(files)} steps in {time.time() - t0:.0f}s")
+
+
+# ------------------------------------------------------------------ jax side
+def stage_train_jax(root: str, out: str, platform: str = "cpu") -> None:
+    if platform == "cpu":
+        _force_cpu_jax()
+    from pitchextractor_tpu.models import JDCNet
+    from pitchextractor_tpu.parallel import make_mesh
+    from pitchextractor_tpu.train import Trainer, build_optimizer
+
+    meta, files = _batch_files(root)
+    os.makedirs(out, exist_ok=True)
+
+    model = JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
+    tx, schedule = build_optimizer(
+        {
+            "params": None,
+            "optimizer_params": {"lr": meta["lr"]},
+            "scheduler_params": {
+                "max_lr": meta["lr"],
+                "epochs": meta["epochs"],
+                "steps_per_epoch": meta["steps_per_epoch"],
+            },
+        }
+    )
+    trainer = Trainer(
+        model=model,
+        optimizer=tx,
+        scheduler=schedule,
+        loss_config={"lambda_f0": 0.1},
+        use_mixed_precision=False,  # match the torch-CPU run (fp32)
+        mesh=make_mesh(model_parallel=1),
+        n_mels=N_MELS,
+        max_mel_length=T_FRAMES,
+    )
+    log_path = os.path.join(out, "train_log.jsonl")
+    t0 = time.time()
+    with open(log_path, "a") as log:
+        for i, path in enumerate(files):
+            data = np.load(path)
+            metrics = trainer.run((data["mels"], data["f0"], data["sil"]))
+            if (i + 1) % 10 == 0:
+                rec = {
+                    "step": i + 1,
+                    "elapsed_s": round(time.time() - t0, 1),
+                    **{k: float(v) for k, v in metrics.items()},
+                }
+                log.write(json.dumps(rec) + "\n")
+                log.flush()
+                print(rec, flush=True)
+    trainer.save_checkpoint(os.path.join(out, "model.ckpt"))
+    print(f"train-jax done: {len(files)} steps in {time.time() - t0:.0f}s")
+
+
+# --------------------------------------------------------------------- eval
+def _torch_predict_f0(net, audio: np.ndarray, melspec) -> np.ndarray:
+    """Chunked inference for the torch model, frame-identical to
+    F0Predictor's stitching (192-frame chunks, stride 144, keep the first
+    stride frames of each chunk)."""
+    import torch
+
+    mel = melspec(audio[None, :])[0]  # (M, T)
+    mel = (np.log(1e-5 + mel) + 4.0) / 4.0
+    total = 1 + len(audio) // HOP
+    step = T_FRAMES - 48
+    out = np.zeros((total,), dtype=np.float32)
+    net.eval()
+    with torch.no_grad():
+        for start in range(0, total, step):
+            chunk = mel[:, start : start + T_FRAMES]
+            if chunk.shape[1] < T_FRAMES:
+                chunk = np.pad(chunk, ((0, 0), (0, T_FRAMES - chunk.shape[1])))
+            x = torch.from_numpy(chunk.astype(np.float32))[None, None]  # (1,1,M,T)
+            f0_pred, _ = net(x.transpose(-1, -2))
+            pred = f0_pred.squeeze(0).squeeze(-1).numpy()
+            end = min(start + step, total)
+            out[start:end] = pred[: end - start]
+    return out
+
+
+def _voicing_f1(truth_voiced: np.ndarray, pred_voiced: np.ndarray) -> float:
+    tp = float(np.sum(truth_voiced & pred_voiced))
+    fp = float(np.sum(~truth_voiced & pred_voiced))
+    fn = float(np.sum(truth_voiced & ~pred_voiced))
+    return 2 * tp / max(2 * tp + fp + fn, 1e-9)
+
+
+def stage_evaluate(root: str, torch_run: str, jax_run: str, csv_path: str) -> None:
+    _force_cpu_jax()
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    import model as ref_model
+
+    from pitchextractor_tpu.dsp.mel import MelSpectrogram
+    from pitchextractor_tpu.eval.metrics import compute_metrics
+    from pitchextractor_tpu.infer import F0Predictor, load_model
+    from pitchextractor_tpu.io import read_audio
+
+    meta = json.load(open(os.path.join(root, "meta.json")))
+
+    net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
+    net.load_state_dict(torch.load(os.path.join(torch_run, "model.pth"), map_location="cpu"))
+    melspec = MelSpectrogram(
+        sample_rate=SR,
+        n_fft=MEL_PARAMS["n_fft"],
+        win_length=MEL_PARAMS["win_length"],
+        hop_length=HOP,
+        n_mels=N_MELS,
+    )
+
+    model, variables = load_model(os.path.join(jax_run, "model.ckpt"))
+    predictor = F0Predictor(model, variables, mel_params=MEL_PARAMS)
+
+    val_paths = [
+        line.split("|")[0]
+        for line in open(os.path.join(root, "val_list.txt")).read().splitlines()
+        if line
+    ]
+    per_model = {"torch": [], "jax": []}
+    for path in val_paths:
+        audio, sr = read_audio(path)
+        audio = np.asarray(audio, dtype=np.float32)
+        truth = np.load(path + "_f0.npy")
+        preds = {
+            "torch": _torch_predict_f0(net, audio, melspec),
+            "jax": predictor.predict_f0(audio),
+        }
+        for name, pred in preds.items():
+            n = min(len(truth), len(pred))
+            m = compute_metrics(truth[:n], pred[:n])
+            m["VoicingF1"] = _voicing_f1(truth[:n] > 0, pred[:n] > 10.0)
+            per_model[name].append(m)
+
+    rows = []
+    summary = {}
+    for name, ms in per_model.items():
+        row = {"model": name, "files": len(ms)}
+        for key in ("RPA", "RCA", "VUV", "OctaveError", "VoicingF1"):
+            vals = [m[key] for m in ms if not np.isnan(m[key])]
+            row[key] = round(float(np.mean(vals)), 4) if vals else float("nan")
+        rows.append(row)
+        summary[name] = row
+    delta = {
+        "model": "delta(jax-torch)",
+        "files": len(val_paths),
+        **{
+            k: round(summary["jax"][k] - summary["torch"][k], 4)
+            for k in ("RPA", "RCA", "VUV", "OctaveError", "VoicingF1")
+        },
+    }
+    rows.append(delta)
+
+    os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+    import csv
+
+    with open(csv_path, "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    for row in rows:
+        print(row)
+    ok = abs(delta["RPA"]) <= 0.005 and abs(delta["VoicingF1"]) <= 0.005
+    print(f"parity gate (|dRPA|<=0.005 and |dVoicingF1|<=0.005): {'PASS' if ok else 'FAIL'}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="stage", required=True)
+    for name in ("gen", "train-torch", "train-jax", "evaluate"):
+        p = sub.add_parser(name)
+        p.add_argument("--root", required=True)
+        if name == "train-torch":
+            p.add_argument("--out", required=True)
+        if name == "train-jax":
+            p.add_argument("--out", required=True)
+            p.add_argument("--platform", default="cpu")
+        if name == "evaluate":
+            p.add_argument("--torch-run", required=True)
+            p.add_argument("--jax-run", required=True)
+            p.add_argument("--csv", required=True)
+    args = parser.parse_args()
+    if args.stage == "gen":
+        stage_gen(args.root)
+    elif args.stage == "train-torch":
+        stage_train_torch(args.root, args.out)
+    elif args.stage == "train-jax":
+        stage_train_jax(args.root, args.out, args.platform)
+    elif args.stage == "evaluate":
+        stage_evaluate(args.root, args.torch_run, args.jax_run, args.csv)
+
+
+if __name__ == "__main__":
+    main()
