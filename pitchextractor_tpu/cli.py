@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import os
 import os.path as osp
+import time
 
 import click
 import numpy as np
@@ -109,13 +110,29 @@ def run(config_path: str, max_steps=None) -> int:
             load_only_params=config.get("load_only_params", True),
         )
 
-    # cache warm-up: iterate both loaders once so all F0/mel caches exist
-    # before the timed epochs (reference train.py:127-133)
+    # cache warm-up (reference train.py:127-133).  F0 cache misses are filled
+    # first by batched on-device labeling (labels/bulk.py — one tracker
+    # dispatch per length bucket instead of one cascade call per file); the
+    # loader pass afterwards only builds mel caches against warm F0 caches.
     print("Checking if all F0 data is computed...")
+    from .labels.bulk import precompute_for_dataset
+
+    warmup_t0 = time.time()
+    for loader in (train_dataloader, val_dataloader):
+        stats = precompute_for_dataset(loader.dataset, verbose=False)
+        if stats["written"]:
+            logger.info(
+                "bulk-labeled %d files in %.1fs (%.1f files/s, %.1f audio-s/s)",
+                stats["written"],
+                stats["elapsed_s"],
+                stats["files_per_second"],
+                stats["audio_seconds_per_second"],
+            )
     for _ in train_dataloader:
         continue
     for _ in val_dataloader:
         continue
+    logger.info("cache warm-up took %.1fs total", time.time() - warmup_t0)
     print("All F0 data is computed.")
 
     for epoch in range(1, epochs + 1):
@@ -133,6 +150,10 @@ def run(config_path: str, max_steps=None) -> int:
         if max_steps is not None and trainer.steps >= max_steps:
             break
 
+    # join any in-flight async checkpoint writes before declaring success
+    from .train.checkpoint import wait_for_pending_saves
+
+    wait_for_pending_saves()
     writer.close()
     return 0
 

@@ -1,0 +1,100 @@
+"""Bulk on-device F0 labeling over a dataset's file list.
+
+Replaces the reference's per-file warm-up labeling (train.py:127-133 iterates
+the DataLoader so each CPU worker labels one utterance at a time through the
+cascade).  Here cache misses are collected, bucketed by padded length (one
+compiled tracker shape per bucket), labeled in dense batches on the
+accelerator, and written into the standard ``_f0{chain}.npy``/``.json``
+caches — the same files the per-item path would produce.
+
+Used by the training CLI's warm-up pass and ``tools/precompute_labels.py``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def precompute_for_dataset(
+    dataset,
+    batch_size: int = 64,
+    bucket_seconds: float = 1.0,
+    force: bool = False,
+    verbose: bool = True,
+) -> Dict:
+    """Fill every missing F0 cache for ``dataset`` (a MelDataset) in batched
+    device dispatches.  Returns summary stats."""
+    from ..dsp.resample import resample_np
+    from ..io import read_audio
+    from ..io.audio import AudioDecodeError
+
+    extractor = dataset.f0_extractor
+    sr = dataset.sr
+    hop = dataset.mel_params["hop_length"]
+    bucket = max(int(bucket_seconds * sr), hop)
+
+    # collect work items: (path, waveform, true_frames)
+    pending: List[Tuple[str, np.ndarray, int]] = []
+    skipped_cached = 0
+    failed: List[Tuple[str, str]] = []
+    for path in dataset.data_list:
+        if not force and dataset._load_cached_f0(path) is not None:
+            skipped_cached += 1
+            continue
+        try:
+            wave, wsr = read_audio(path)
+        except (AudioDecodeError, OSError) as exc:
+            failed.append((path, str(exc)))
+            continue
+        if wave.ndim > 1:
+            wave = np.mean(wave, axis=-1)
+        wave = wave.astype(np.float32)
+        if wsr != sr:
+            wave = resample_np(wave, wsr, sr)
+        pending.append((path, wave, 1 + len(wave) // hop))
+
+    # bucket by padded length so each bucket is one compiled shape
+    buckets: Dict[int, List] = {}
+    for item in pending:
+        padded = ((len(item[1]) + bucket - 1) // bucket) * bucket
+        buckets.setdefault(padded, []).append(item)
+
+    t0 = time.time()
+    written = 0
+    total_audio_seconds = 0.0
+    for padded, items in sorted(buckets.items()):
+        for i in range(0, len(items), batch_size):
+            chunk = items[i : i + batch_size]
+            batch = np.zeros((len(chunk), padded), dtype=np.float32)
+            for j, (_, wave, _) in enumerate(chunk):
+                batch[j, : len(wave)] = wave
+            contours = extractor.compute_batch(batch, sr)
+            primary = extractor.backends[0].name
+            for j, (path, wave, true_frames) in enumerate(chunk):
+                f0 = contours[j][:true_frames].astype(np.float32)
+                dataset._save_f0_cache(path, f0, primary)
+                written += 1
+                total_audio_seconds += len(wave) / sr
+            if verbose:
+                print(
+                    f"[precompute] bucket {padded / sr:.1f}s: "
+                    f"{min(i + batch_size, len(items))}/{len(items)} files"
+                )
+    elapsed = max(time.time() - t0, 1e-9)
+    stats = {
+        "written": written,
+        "cached": skipped_cached,
+        "failed": len(failed),
+        "audio_seconds_per_second": total_audio_seconds / elapsed if written else 0.0,
+        "files_per_second": written / elapsed if written else 0.0,
+        "cache_identifier": extractor.cache_identifier,
+        "elapsed_s": elapsed if written else 0.0,
+    }
+    if verbose:
+        print(f"[precompute] {stats}")
+        for path, reason in failed:
+            print(f"[precompute] FAILED {path}: {reason}")
+    return stats

@@ -1,4 +1,4 @@
-"""Checkpoint save/load with shape-tolerant partial restore.
+"""Checkpoint save/load: atomic, optionally async, shape-tolerant restore.
 
 The reference persists ``{model, optimizer, scheduler, steps, epochs}`` via
 ``torch.save`` (trainer.py:138-153) and restores with a tolerant
@@ -8,8 +8,22 @@ the same dict contract in a msgpack file (flax serialization), plus a sidecar
 JSON with config provenance, and reproduce the min-shape merge semantics in
 ``tolerant_merge``.
 
+Beyond the reference (SURVEY.md §5.4 "should use Orbax"):
+
+- **Atomic writes**: every save goes to a temp file, is fsync'd, and is
+  ``os.replace``d into place — a crash mid-save can never corrupt the last
+  good checkpoint (the reference's ``torch.save`` truncates in place).
+- **Async saves**: the device→host snapshot is taken synchronously (so
+  donated buffers from the next step can't invalidate it), then
+  serialization + IO run on a single background writer thread; training
+  continues immediately.  ``wait_for_pending_saves()`` joins and re-raises.
+- **Orbax backend** (``backend="orbax"``): the same state tree saved through
+  ``orbax.checkpoint`` (directory format, its own atomic rename + async
+  machinery).  ``restore_raw`` auto-detects directories, so the tolerant
+  restore path is shared across both formats.
+
 ``tools/convert_torch_checkpoint.py`` converts reference ``.pth`` files into
-this format for parity evaluations.
+the msgpack format for parity evaluations — that path is unchanged.
 """
 
 from __future__ import annotations
@@ -17,7 +31,9 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Any, Dict, Optional, Tuple
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -26,6 +42,49 @@ import jax.numpy as jnp
 from flax import serialization
 
 logger = logging.getLogger(__name__)
+
+_WRITER_LOCK = threading.Lock()
+_WRITER: Optional[ThreadPoolExecutor] = None
+_PENDING: List[Future] = []
+_ORBAX_CKPTR = None
+
+
+def _writer() -> ThreadPoolExecutor:
+    global _WRITER
+    with _WRITER_LOCK:
+        if _WRITER is None:
+            _WRITER = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt-writer")
+        return _WRITER
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write-to-temp + fsync + rename: a crash can never corrupt ``path``."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as handle:
+        handle.write(data)
+        handle.flush()
+        os.fsync(handle.fileno())
+    os.replace(tmp, path)
+
+
+def wait_for_pending_saves() -> None:
+    """Block until all async checkpoint saves finish; re-raise any failure."""
+    global _PENDING
+    with _WRITER_LOCK:
+        pending, _PENDING = _PENDING, []
+    for fut in pending:
+        fut.result()
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
+
+
+def _orbax_checkpointer():
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ORBAX_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ORBAX_CKPTR
 
 
 def save_checkpoint(
@@ -36,8 +95,14 @@ def save_checkpoint(
     steps: int,
     epochs: int,
     extra_meta: Optional[Dict] = None,
+    async_save: bool = False,
+    backend: str = "msgpack",
 ) -> None:
-    """Persist the full training state (reference trainer.py:138-153)."""
+    """Persist the full training state (reference trainer.py:138-153).
+
+    The device→host copy happens synchronously in all modes; with
+    ``async_save`` the serialization and disk IO move to a writer thread.
+    """
     state = {
         "model": {
             "params": jax.device_get(params),
@@ -50,20 +115,50 @@ def save_checkpoint(
     directory = os.path.dirname(checkpoint_path)
     if directory and not os.path.exists(directory):
         os.makedirs(directory, exist_ok=True)
-    with open(checkpoint_path, "wb") as handle:
-        # to_state_dict converts optax namedtuple/tuple state into plain
-        # string-keyed dicts that msgpack can serialize
-        handle.write(
-            serialization.msgpack_serialize(_to_pure(serialization.to_state_dict(state)))
-        )
     meta = {"steps": int(steps), "epochs": int(epochs)}
     if extra_meta:
         meta.update(extra_meta)
-    with open(checkpoint_path + ".json", "w", encoding="utf-8") as handle:
-        json.dump(meta, handle, sort_keys=True, default=str)
+
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        pure = _to_pure(serialization.to_state_dict(state))
+        ckptr = _orbax_checkpointer()
+        ckptr.save(
+            os.path.abspath(checkpoint_path),
+            args=ocp.args.StandardSave(pure),
+            force=True,
+        )
+        if not async_save:
+            ckptr.wait_until_finished()
+        return
+    if backend != "msgpack":
+        raise ValueError(f"Unknown checkpoint backend: {backend!r}")
+
+    def _serialize_and_write() -> None:
+        # to_state_dict converts optax namedtuple/tuple state into plain
+        # string-keyed dicts that msgpack can serialize
+        blob = serialization.msgpack_serialize(
+            _to_pure(serialization.to_state_dict(state))
+        )
+        _atomic_write(checkpoint_path, blob)
+        _atomic_write(
+            checkpoint_path + ".json",
+            json.dumps(meta, sort_keys=True, default=str).encode("utf-8"),
+        )
+
+    if async_save:
+        fut = _writer().submit(_serialize_and_write)
+        with _WRITER_LOCK:
+            _PENDING.append(fut)
+    else:
+        _serialize_and_write()
 
 
 def restore_raw(checkpoint_path: str) -> Dict:
+    if os.path.isdir(checkpoint_path):  # orbax directory format
+        ckptr = _orbax_checkpointer()
+        return ckptr.restore(os.path.abspath(checkpoint_path))
     with open(checkpoint_path, "rb") as handle:
         return serialization.msgpack_restore(handle.read())
 

@@ -353,7 +353,12 @@ class Trainer:
         }
 
     # ------------------------------------------------------------------
-    def save_checkpoint(self, checkpoint_path: str) -> None:
+    def save_checkpoint(
+        self, checkpoint_path: str, async_save: Optional[bool] = None
+    ) -> None:
+        training_cfg = self.config.get("training") or {}
+        if async_save is None:
+            async_save = bool(training_cfg.get("async_checkpoints", False))
         ckpt_lib.save_checkpoint(
             checkpoint_path,
             self.state.params,
@@ -362,6 +367,8 @@ class Trainer:
             steps=self.steps,
             epochs=self.epochs,
             extra_meta={"model_params": self.config.get("model_params")},
+            async_save=async_save,
+            backend=str(training_cfg.get("checkpoint_backend", "msgpack")),
         )
 
     def load_checkpoint(self, checkpoint_path: str, load_only_params: bool = False) -> None:

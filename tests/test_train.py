@@ -208,6 +208,92 @@ def test_checkpoint_load_only_params(tmp_path):
     assert trainer2.steps == 0
 
 
+def test_async_checkpoint_save_and_resume(tmp_path):
+    """Async saves snapshot device state synchronously (donation-safe) and
+    write on a background thread; resume after the join is bit-identical."""
+    from pitchextractor_tpu.train.checkpoint import wait_for_pending_saves
+
+    batches = _synthetic_batches(n_batches=1)
+    trainer = _tiny_trainer(batches, batches)
+    trainer.run(batches[0])
+    path = str(tmp_path / "async.ckpt")
+    trainer.save_checkpoint(path, async_save=True)
+    saved_params = jax.device_get(trainer.state.params)
+    trainer.run(batches[0])  # keep training while the write is in flight
+    wait_for_pending_saves()
+    assert os.path.isfile(path) and os.path.isfile(path + ".json")
+    assert not os.path.exists(path + ".tmp")
+
+    trainer2 = _tiny_trainer(batches, batches)
+    trainer2.load_checkpoint(path)
+    for x, y in zip(
+        jax.tree_util.tree_leaves(saved_params),
+        jax.tree_util.tree_leaves(trainer2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_crash_safety(tmp_path, monkeypatch):
+    """A save that dies mid-write must never corrupt the previous checkpoint
+    (atomic temp-file + rename; the reference's torch.save truncates in
+    place)."""
+    import pitchextractor_tpu.train.checkpoint as ckpt_lib
+
+    batches = _synthetic_batches(n_batches=1)
+    trainer = _tiny_trainer(batches, batches)
+    path = str(tmp_path / "crash.ckpt")
+    trainer.save_checkpoint(path)
+    good = open(path, "rb").read()
+
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        raise OSError("simulated crash during rename")
+
+    monkeypatch.setattr(ckpt_lib.os, "replace", exploding_replace)
+    trainer.run(batches[0])
+    with pytest.raises(OSError, match="simulated crash"):
+        trainer.save_checkpoint(path)
+    monkeypatch.setattr(ckpt_lib.os, "replace", real_replace)
+
+    # previous checkpoint bytes untouched and still loadable
+    assert open(path, "rb").read() == good
+    trainer2 = _tiny_trainer(batches, batches)
+    trainer2.load_checkpoint(path)
+
+    # a stale partial temp file from a hard kill is simply ignored
+    with open(path + ".tmp", "wb") as fh:
+        fh.write(b"partial garbage")
+    trainer3 = _tiny_trainer(batches, batches)
+    trainer3.load_checkpoint(path)
+    m = trainer3.run(batches[0])
+    assert np.isfinite(m["loss"])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Optional orbax backend (SURVEY.md §5.4): directory format, shared
+    tolerant-restore path."""
+    pytest.importorskip("orbax.checkpoint")
+    batches = _synthetic_batches(n_batches=1)
+    trainer = _tiny_trainer(batches, batches)
+    trainer.run(batches[0])
+    path = str(tmp_path / "orbax_ckpt")
+    trainer.config["training"] = {"checkpoint_backend": "orbax"}
+    trainer.save_checkpoint(path)
+    assert os.path.isdir(path)
+
+    trainer2 = _tiny_trainer(batches, batches)
+    trainer2.load_checkpoint(path)
+    assert trainer2.steps == trainer.steps
+    for x, y in zip(
+        jax.tree_util.tree_leaves(trainer.state.params),
+        jax.tree_util.tree_leaves(trainer2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    m = trainer2.run(batches[0])
+    assert np.isfinite(m["loss"])
+
+
 def test_tolerant_merge_shape_mismatch():
     target = {"w": np.zeros((4, 6), np.float32), "b": np.zeros((4,), np.float32)}
     source = {"w": np.ones((2, 8), np.float32)}

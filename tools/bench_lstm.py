@@ -144,6 +144,17 @@ def main():
     run("fb_pallas_c2", lambda xp, w: grad_pallas(xp, w)[0], (xp2, w2))
     run("fb_pallas_c4", lambda xp, w: grad_pallas(xp, w)[0], (xp4, w4), steps_per_model_step=768)
 
+    # same, but with the Pallas BPTT backward kernel forced on
+    if not want or any("bptt" in v for v in want):
+        m_use = m._use_pallas_bptt
+        m._use_pallas_bptt = lambda: True
+        try:
+            grad_bptt = jax.grad(loss_pallas)
+            run("fb_bptt_c2", lambda xp, w: grad_bptt(xp, w)[0], (xp2, w2))
+            run("fb_bptt_c4", lambda xp, w: grad_bptt(xp, w)[0], (xp4, w4), steps_per_model_step=768)
+        finally:
+            m._use_pallas_bptt = m_use
+
 
 if __name__ == "__main__":
     main()

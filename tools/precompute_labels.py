@@ -17,12 +17,10 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import click
-import numpy as np
 
 
 def precompute(
@@ -35,9 +33,7 @@ def precompute(
 ) -> dict:
     from pitchextractor_tpu import config as config_lib
     from pitchextractor_tpu.data.dataset import MelDataset
-    from pitchextractor_tpu.dsp.resample import resample_np
-    from pitchextractor_tpu.io import read_audio
-    from pitchextractor_tpu.io.audio import AudioDecodeError
+    from pitchextractor_tpu.labels.bulk import precompute_for_dataset
 
     config = {}
     if os.path.isfile(config_path):
@@ -53,72 +49,13 @@ def precompute(
         f0_params=dataset_params.get("f0_params"),
         verbose=False,
     )
-    extractor = dataset.f0_extractor
-    sr = dataset.sr
-    hop = dataset.mel_params["hop_length"]
-    bucket = max(int(bucket_seconds * sr), hop)
-
-    # collect work items: (path, waveform, true_frames)
-    pending = []
-    skipped_cached = 0
-    failed = []
-    for path in dataset.data_list:
-        if not force and dataset._load_cached_f0(path) is not None:
-            skipped_cached += 1
-            continue
-        try:
-            wave, wsr = read_audio(path)
-        except (AudioDecodeError, OSError) as exc:
-            failed.append((path, str(exc)))
-            continue
-        if wave.ndim > 1:
-            wave = np.mean(wave, axis=-1)
-        wave = wave.astype(np.float32)
-        if wsr != sr:
-            wave = resample_np(wave, wsr, sr)
-        pending.append((path, wave, 1 + len(wave) // hop))
-
-    # bucket by padded length so each bucket is one compiled shape
-    buckets: dict = {}
-    for item in pending:
-        padded = ((len(item[1]) + bucket - 1) // bucket) * bucket
-        buckets.setdefault(padded, []).append(item)
-
-    t0 = time.time()
-    written = 0
-    total_audio_seconds = 0.0
-    for padded, items in sorted(buckets.items()):
-        for i in range(0, len(items), batch_size):
-            chunk = items[i : i + batch_size]
-            batch = np.zeros((len(chunk), padded), dtype=np.float32)
-            for j, (_, wave, _) in enumerate(chunk):
-                batch[j, : len(wave)] = wave
-            contours = extractor.compute_batch(batch, sr)
-            primary = extractor.backends[0].name
-            for j, (path, wave, true_frames) in enumerate(chunk):
-                f0 = contours[j][:true_frames].astype(np.float32)
-                dataset._save_f0_cache(path, f0, primary)
-                written += 1
-                total_audio_seconds += len(wave) / sr
-            if verbose:
-                print(
-                    f"[precompute] bucket {padded / sr:.1f}s: "
-                    f"{min(i + batch_size, len(items))}/{len(items)} files"
-                )
-    elapsed = max(time.time() - t0, 1e-9)
-    stats = {
-        "written": written,
-        "cached": skipped_cached,
-        "failed": len(failed),
-        "audio_seconds_per_second": total_audio_seconds / elapsed if written else 0.0,
-        "files_per_second": written / elapsed if written else 0.0,
-        "cache_identifier": extractor.cache_identifier,
-    }
-    if verbose:
-        print(f"[precompute] {stats}")
-        for path, reason in failed:
-            print(f"[precompute] FAILED {path}: {reason}")
-    return stats
+    return precompute_for_dataset(
+        dataset,
+        batch_size=batch_size,
+        bucket_seconds=bucket_seconds,
+        force=force,
+        verbose=verbose,
+    )
 
 
 @click.command()
