@@ -107,6 +107,15 @@ class HarmonicSynthesizer:
         self._templates = self._build_formant_templates(vowel_profiles)
         self.frame_period = 1000.0 * self.hop_length / self.sample_rate
 
+        # Pure-tone / sparse-partial stimuli (round-2 domain-gap fix): the
+        # eval suites drive single-partial sines and few-partial timbres
+        # (reference Utils/dynamic_pitch_tools.py:21-62, pitch-range notebook
+        # partial sets), which are spectrally unlike the formant vowels; with
+        # probability ``tone_probability`` a sample is synthesised from a
+        # sparse partial set (1 = pure sine) instead of a vowel envelope.
+        self.tone_probability = float(cfg.get("tone_probability", 0.0))
+        self.tone_partials_max = max(1, int(cfg.get("tone_partials_max", 4)))
+
     # ------------------------------------------------------------------
     def _build_formant_templates(self, profiles: Sequence[Dict]) -> List[np.ndarray]:
         """Gaussian-bump spectral envelopes on the FFT frequency axis
@@ -202,14 +211,46 @@ class HarmonicSynthesizer:
             out = out / peak
         return out
 
+    def _synthesize_partials(self, f0_frames: np.ndarray, partial_amps: np.ndarray) -> np.ndarray:
+        """Sparse-partial synthesis: fixed per-harmonic amplitudes (1 partial
+        = the eval suites' pure sine) instead of a formant envelope."""
+        num_frames = f0_frames.shape[0]
+        n_samples = num_frames * self.hop_length
+        frame_pos = np.arange(num_frames) * self.hop_length
+        f0_s = np.interp(np.arange(n_samples), frame_pos, f0_frames)
+        phase = np.cumsum(2.0 * np.pi * f0_s / self.sample_rate)
+        nyquist = self.sample_rate / 2.0
+        out = np.zeros(n_samples, dtype=np.float64)
+        for k, amp in enumerate(partial_amps, start=1):
+            mask = k * f0_s < nyquist
+            if not mask.any():
+                break
+            out += np.where(mask, float(amp), 0.0) * np.sin(k * phase)
+        peak = np.max(np.abs(out))
+        if peak > 0:
+            out = out / peak
+        return out
+
+    def _sample_partial_set(self) -> np.ndarray:
+        """1..tone_partials_max partials; single partial (pure tone) drawn
+        most often, multi-partial sets get a random geometric rolloff."""
+        n = int(self.rng.integers(1, self.tone_partials_max + 1))
+        if n == 1:
+            return np.ones(1)
+        rolloff = float(self.rng.uniform(0.3, 0.8))
+        return rolloff ** np.arange(n, dtype=np.float64)
+
     def generate(self) -> Tuple[np.ndarray, np.ndarray]:
         """-> (waveform float32, exact per-frame F0 float32)
         (reference Utils/synthetic.py:194-220)."""
         duration = self._sample_duration()
         num_frames = max(2, int(np.ceil((duration * 1000.0) / self.frame_period)))
-        template = self._templates[int(self.rng.integers(len(self._templates)))]
         f0_curve = self._sample_f0_curve(num_frames)
-        waveform = self._synthesize(f0_curve, template)
+        if self.tone_probability > 0 and self.rng.random() < self.tone_probability:
+            waveform = self._synthesize_partials(f0_curve, self._sample_partial_set())
+        else:
+            template = self._templates[int(self.rng.integers(len(self._templates)))]
+            waveform = self._synthesize(f0_curve, template)
 
         gain = _db_to_amplitude(float(self.rng.uniform(*self.gain_db_range)))
         waveform = waveform * gain

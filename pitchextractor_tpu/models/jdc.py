@@ -178,14 +178,16 @@ class JDCNet(nn.Module):
 
         # ---------------- sequence heads ----------------
         clf = self.sequence_classifier
-        # Cross-head fusion (C=4) measured *slower* than per-head direction
-        # fusion (C=2) on v5e: the stacked recurrent weights (4·H·4H f32 ≈
-        # 9.4 MB) plus double-buffered IO push VMEM to its ~16 MB limit.
-        # Opt-in via PEX_FUSED4_LSTM for wider-VMEM parts.
+        # Cross-head fusion (C=4) is the default: the round-2 microbench
+        # (tools/bench_lstm.py, real chip) measured forward recurrence
+        # 11.7 ms vs 19.4 for per-head C=2 fusion, and 26.6 vs 35.7 fwd+bwd
+        # with the Pallas BPTT backward — the per-step sequential overhead
+        # amortises across all four chains.  ``PEX_DISABLE_FUSED4_LSTM``
+        # opts out (e.g. for narrow-VMEM parts).
         import os
 
         fused4 = (
-            bool(os.environ.get("PEX_FUSED4_LSTM"))
+            not os.environ.get("PEX_DISABLE_FUSED4_LSTM")
             and _lstm_use_pallas()
             and clf.model_type.lower() == "bilstm"
             and clf.bidirectional

@@ -200,12 +200,13 @@ def _lstm_bwd_core(x_proj, w_hh, hs, cs, g):
 
 
 def _use_pallas_bptt() -> bool:
-    """The Pallas BPTT kernel measured at parity-to-slightly-slower than the
-    batched-recompute + reverse-scan backward (the 7H activation pack adds
-    HBM traffic that cancels the scan-overhead savings), so it ships opt-in."""
+    """Default ON: the round-2 microbench (tools/bench_lstm.py, real chip)
+    measured the Pallas BPTT kernel clearly ahead of the batched-recompute +
+    reverse-scan backward (fwd+bwd model recurrence 30.3 ms vs 35.7 at C=2,
+    26.6 vs 32.6 at C=4).  ``PEX_DISABLE_PALLAS_BPTT`` opts out."""
     import os
 
-    return bool(os.environ.get("PEX_PALLAS_BPTT"))
+    return not os.environ.get("PEX_DISABLE_PALLAS_BPTT")
 
 
 def _lstm_bwd(residuals, g):

@@ -211,6 +211,52 @@ def test_harmonic_synthesizer_exact_f0():
     assert np.median(cents) < 30
 
 
+def test_pure_tone_mode_single_partial():
+    """tone_probability=1 with 1 partial yields a pure sine at the exact
+    contour — the eval suites' stimulus family (round-2 domain-gap fix)."""
+    rng = np.random.default_rng(1)
+    synth = HarmonicSynthesizer(
+        SR,
+        300,
+        1024,
+        config={
+            "noise_db": None,
+            "tone_probability": 1.0,
+            "tone_partials_max": 1,
+            "modulation": {"vibrato_probability": 0.0, "max_segments": 1},
+        },
+        rng=rng,
+    )
+    wave, f0 = synth.generate()
+    from pitchextractor_tpu.labels.trackers import track_pitch
+
+    est = track_pitch(wave, SR, 300)
+    n = min(len(est), len(f0))
+    mask = (est[:n] > 0) & (f0[:n] > 0)
+    cents = 1200 * np.abs(np.log2(est[:n][mask] / f0[:n][mask]))
+    assert np.median(cents) < 30
+
+    # single partial: no energy at the 2nd harmonic
+    seg = wave[len(wave) // 4 : len(wave) // 4 + 4096].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    freqs = np.fft.rfftfreq(len(seg), 1 / SR)
+    hz = float(np.median(f0[f0 > 0]))
+    band = lambda f: spec[(freqs > f * 0.85) & (freqs < f * 1.15)].max()
+    assert band(2 * hz) < 0.05 * band(hz)
+
+
+def test_tone_mode_partial_sets_rolloff():
+    rng = np.random.default_rng(2)
+    synth = HarmonicSynthesizer(
+        SR, 300, 1024, config={"tone_probability": 1.0, "tone_partials_max": 4}, rng=rng
+    )
+    sets = [synth._sample_partial_set() for _ in range(50)]
+    sizes = {len(s) for s in sets}
+    assert sizes == {1, 2, 3, 4}
+    for s in sets:
+        assert s[0] == 1.0 and np.all(np.diff(s) <= 0)  # monotone rolloff
+
+
 def test_pitch_shift_moves_pitch():
     t = np.arange(SR) / SR
     x = 0.5 * np.sin(2 * np.pi * 220.0 * t).astype(np.float32)

@@ -150,7 +150,6 @@ def test_jdcnet_fused4_matches_unfused(monkeypatch):
     import pitchextractor_tpu.models.sequence as seq
     import pitchextractor_tpu.models.jdc as jdc_mod
 
-    monkeypatch.setenv("PEX_FUSED4_LSTM", "1")
     from pitchextractor_tpu.models import JDCNet
 
     model = JDCNet(
@@ -175,7 +174,6 @@ def test_jdcnet_fused4_gradients(monkeypatch):
     import pitchextractor_tpu.models.sequence as seq
     import pitchextractor_tpu.models.jdc as jdc_mod
 
-    monkeypatch.setenv("PEX_FUSED4_LSTM", "1")
     from pitchextractor_tpu.models import JDCNet
 
     model = JDCNet(
