@@ -5,6 +5,13 @@ exact F0 provide (log-spectrogram patch, pitch-bin) pairs; the model trains
 with softmax cross-entropy over its 200 log-spaced bins plus an auxiliary
 "unvoiced" handling: unvoiced frames get a uniform target so their max
 probability (the confidence signal) stays low.
+
+``arch="v2"`` (default) trains the round-2 architecture: log-frequency
+resampled input from a 2048-sample window with 2-D time×frequency convs —
+the fix for the v1 model's <150 Hz weakness (RESULTS.md round 1).  The
+training distribution reaches down to 45 Hz log-uniformly and mixes in
+pure-tone/sparse-partial stimuli so the labeler covers the eval suites'
+stimulus family.
 """
 
 from __future__ import annotations
@@ -23,11 +30,15 @@ from .swiftf0 import (
     BIN_HI,
     BIN_LO,
     HOP_LENGTH,
+    LOGF_BINS,
     N_FFT,
+    N_FFT_V2,
     PITCH_BINS,
     TARGET_SAMPLE_RATE,
     SwiftF0Model,
+    SwiftF0ModelV2,
     _pitch_bin_frequencies,
+    logf_filterbank,
     save_swiftf0_weights,
 )
 
@@ -47,10 +58,23 @@ def _f0_to_targets(f0: np.ndarray) -> np.ndarray:
     return targets
 
 
+def _make_patch(wave: np.ndarray, arch: str, logf_fb: Optional[np.ndarray]) -> np.ndarray:
+    if arch == "v2":
+        spec = np.abs(
+            stft_np(wave, n_fft=N_FFT_V2, hop_length=HOP_LENGTH, win_length=N_FFT_V2)
+        ).astype(np.float32)
+        return np.log(logf_fb @ spec + 1e-8).T
+    spec = np.abs(
+        stft_np(wave, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=N_FFT)
+    ).astype(np.float32)
+    return np.log(spec[BIN_LO:BIN_HI, :].T + 1e-8)
+
+
 def synthetic_spec_batches(
     frames_per_batch: int = 512,
     unvoiced_fraction: float = 0.25,
     seed: int = 0,
+    arch: str = "v2",
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yield (spec patches (1, T, F), targets (T, bins)) forever."""
     rng = np.random.default_rng(seed)
@@ -60,13 +84,18 @@ def synthetic_spec_batches(
         fft_size=N_FFT,
         config={
             "duration": {"min": 0.5, "max": 1.5},
-            "pitch_range": [50.0, 1800.0],
+            # down to 45 Hz: the v1 model's blind spot (VERDICT round-1 #6)
+            "pitch_range": [45.0, 1800.0] if arch == "v2" else [50.0, 1800.0],
             "pitch_log_uniform": True,
             "gain_db_range": [-24.0, -3.0],
             "noise_db": -45.0,
+            # cover the eval suites' single-partial stimuli too
+            "tone_probability": 0.25 if arch == "v2" else 0.0,
+            "tone_partials_max": 4,
         },
         rng=rng,
     )
+    logf_fb = logf_filterbank() if arch == "v2" else None
     while True:
         specs = []
         f0s = []
@@ -79,10 +108,7 @@ def synthetic_spec_batches(
                 f0 = np.zeros(1 + n // HOP_LENGTH, dtype=np.float32)
             else:
                 wave, f0 = synth.generate()
-            spec = np.abs(
-                stft_np(wave, n_fft=N_FFT, hop_length=HOP_LENGTH, win_length=N_FFT)
-            ).astype(np.float32)
-            patch = np.log(spec[BIN_LO:BIN_HI, :].T + 1e-8)
+            patch = _make_patch(wave, arch, logf_fb)
             n = min(patch.shape[0], len(f0))
             specs.append(patch[:n])
             f0s.append(f0[:n])
@@ -99,10 +125,12 @@ def train_swiftf0(
     seed: int = 0,
     output_path: Optional[str] = None,
     log_every: int = 200,
+    arch: str = "v2",
 ) -> dict:
-    model = SwiftF0Model()
+    model = SwiftF0ModelV2() if arch == "v2" else SwiftF0Model()
+    n_in = LOGF_BINS if arch == "v2" else BIN_HI - BIN_LO
     rng = jax.random.PRNGKey(seed)
-    variables = model.init(rng, jnp.zeros((1, 4, BIN_HI - BIN_LO)))
+    variables = model.init(rng, jnp.zeros((1, 4, n_in)))
     params = variables["params"]
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
@@ -118,7 +146,9 @@ def train_swiftf0(
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, loss
 
-    batches = synthetic_spec_batches(frames_per_batch=frames_per_batch, seed=seed)
+    batches = synthetic_spec_batches(
+        frames_per_batch=frames_per_batch, seed=seed, arch=arch
+    )
     for i in range(steps):
         spec, targets = next(batches)
         params, opt_state, loss = step_fn(params, opt_state, jnp.asarray(spec), jnp.asarray(targets))
@@ -127,5 +157,5 @@ def train_swiftf0(
 
     variables = {"params": params}
     if output_path:
-        save_swiftf0_weights(output_path, variables)
+        save_swiftf0_weights(output_path, variables, fmt=2 if arch == "v2" else 1)
     return variables

@@ -310,6 +310,46 @@ def test_shipped_swiftf0_weights():
         assert np.median(cents) < 60, (freq, np.median(cents))
 
 
+def test_logf_filterbank_properties():
+    """v2 front-end: unit-sum rows, geometric centers recovered, no empty
+    rows at the low end (where triangles get narrower than a linear bin)."""
+    from pitchextractor_tpu.labels.swiftf0 import (
+        LOGF_BINS,
+        LOGF_MAX,
+        LOGF_MIN,
+        N_FFT_V2,
+        TARGET_SAMPLE_RATE,
+        logf_filterbank,
+    )
+
+    fb = logf_filterbank()
+    assert fb.shape == (LOGF_BINS, N_FFT_V2 // 2 + 1)
+    np.testing.assert_allclose(fb.sum(axis=1), 1.0, atol=1e-5)
+    centers = np.geomspace(LOGF_MIN, LOGF_MAX, LOGF_BINS)
+    lin = np.linspace(0, TARGET_SAMPLE_RATE / 2, N_FFT_V2 // 2 + 1)
+    # weighted mean frequency of each row must sit on its center
+    mean_freq = fb @ lin
+    np.testing.assert_allclose(mean_freq, centers, rtol=0.03)
+
+
+def test_swiftf0_v2_train_and_roundtrip(tmp_path):
+    """v2 arch: a short training run produces finite loss; weights round-trip
+    through the format-tagged npz and the labeler picks the v2 model."""
+    from pitchextractor_tpu.labels.swiftf0 import SwiftF0Labeler, SwiftF0ModelV2, TARGET_SAMPLE_RATE
+    from pitchextractor_tpu.labels.swiftf0_train import train_swiftf0
+
+    path = str(tmp_path / "v2.npz")
+    train_swiftf0(steps=3, frames_per_batch=64, output_path=path, log_every=0, arch="v2")
+    lab = SwiftF0Labeler(weights_path=path, confidence_threshold=0.0)
+    assert lab.format == 2
+    assert isinstance(lab.model, SwiftF0ModelV2)
+    t = np.arange(TARGET_SAMPLE_RATE // 2) / TARGET_SAMPLE_RATE
+    audio = (0.3 * np.sin(2 * np.pi * 110.0 * t)).astype(np.float32)
+    f0, conf, voicing = lab.detect(audio, TARGET_SAMPLE_RATE)
+    assert f0.shape == conf.shape == voicing.shape
+    assert np.all(np.isfinite(f0)) and np.all(np.isfinite(conf))
+
+
 def test_bucket_length_grid():
     from pitchextractor_tpu.labels.backends import bucket_length
 

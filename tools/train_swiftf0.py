@@ -18,8 +18,9 @@ import click
 @click.option("--frames_per_batch", default=512, type=int)
 @click.option("--lr", default=3e-4, type=float)
 @click.option("--seed", default=0, type=int)
+@click.option("--arch", default="v2", type=click.Choice(["v1", "v2"]))
 @click.option("--output", required=True, type=str)
-def main(steps, frames_per_batch, lr, seed, output):
+def main(steps, frames_per_batch, lr, seed, arch, output):
     from pitchextractor_tpu.labels.swiftf0_train import train_swiftf0
 
     os.makedirs(os.path.dirname(os.path.abspath(output)), exist_ok=True)
@@ -29,6 +30,7 @@ def main(steps, frames_per_batch, lr, seed, output):
         learning_rate=lr,
         seed=seed,
         output_path=output,
+        arch=arch,
     )
     print(f"saved SwiftF0 weights to {output}")
 
