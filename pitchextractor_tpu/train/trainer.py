@@ -185,6 +185,8 @@ class Trainer:
         2-D input: raw waveform crops (B, samples) — the on-device front-end
         runs the GEMM mel + log-norm inside the compiled step.
         """
+        if mels.dtype != jnp.float32:
+            mels = mels.astype(jnp.float32)  # bf16 transfer -> f32 compute entry
         if mels.ndim == 2:
             mp = self.mel_params
             mel = mel_spectrogram_gemm(
@@ -261,8 +263,15 @@ class Trainer:
             sils = np.concatenate([sils, np.repeat(sils[-1:], pad, axis=0)])
             valid = np.concatenate([valid, np.zeros((pad,), dtype=np.float32)])
         put = partial(jax.device_put, device=self._batch_sharding)
+        mels = np.asarray(mels)
+        if self.use_mixed_precision and mels.dtype == np.float32:
+            # halve the per-step host->device transfer (a co-bottleneck over
+            # remote transports): mels are consumed under bf16 matmul
+            # precision anyway, so shipping them as bf16 loses nothing the
+            # compute path keeps.  Targets (f0/sil) stay f32.
+            mels = mels.astype(jnp.bfloat16)
         return (
-            put(np.asarray(mels)),
+            put(mels),
             put(np.asarray(f0s)),
             put(np.asarray(sils)),
             put(valid),
