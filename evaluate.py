@@ -26,7 +26,23 @@ import click
 @click.option("--suites", default="all", type=str, help="comma-separated suite names or 'all'")
 @click.option("--output_dir", default="notebooks/artifacts", type=str)
 @click.option("--eval_list", default=None, type=str, help="path|label list of real audio for the real_audio suite")
-def main(checkpoint, checkpoint_dir, config_path, suites, output_dir, eval_list):
+@click.option(
+    "--compare",
+    default=None,
+    nargs=2,
+    type=str,
+    help="diff two runs' suite CSV dirs (A B; deltas are B - A) instead of running inference",
+)
+def main(checkpoint, checkpoint_dir, config_path, suites, output_dir, eval_list, compare):
+    if compare:
+        from pitchextractor_tpu.eval.compare import compare_dirs, summarize
+
+        results = compare_dirs(compare[0], compare[1], output_dir=output_dir)
+        if not results:
+            raise SystemExit(f"No common *_metrics.csv between {compare[0]} and {compare[1]}")
+        print(json.dumps(summarize(results), indent=2, sort_keys=True))
+        return
+
     from pitchextractor_tpu import config as config_lib
     from pitchextractor_tpu.eval.suites import SUITES, run_all
     from pitchextractor_tpu.infer import F0Predictor, latest_checkpoint, load_model

@@ -253,3 +253,37 @@ def test_stimulus_banks_match_scalar_generators():
     ref = tbank.frame_reference(33)
     np.testing.assert_allclose(ref[0], 110.0, rtol=1e-5)
     np.testing.assert_allclose(ref[1], 220.0, rtol=1e-5)
+
+
+def test_compare_dirs_deltas(tmp_path):
+    from pitchextractor_tpu.eval.compare import compare_dirs, summarize
+
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(), b_dir.mkdir()
+    header = "suite,rate_hz,RPA,RCA,VUV\n"
+    # run B covers the same grid in reverse order + one extra row
+    (a_dir / "dynamic_pitch_metrics.csv").write_text(
+        header + "vibrato,4.0,0.5,0.6,0.9\nvibrato,6.0,0.7,0.8,0.9\n"
+    )
+    (b_dir / "dynamic_pitch_metrics.csv").write_text(
+        header + "vibrato,6.0,0.9,0.9,0.9\nvibrato,4.0,0.9,0.7,0.9\nvibrato,8.0,1.0,1.0,1.0\n"
+    )
+    # a suite present on only one side is ignored
+    (a_dir / "noise_metrics.csv").write_text("suite,snr_db,RPA\nwhite,10.0,0.5\n")
+
+    out_dir = tmp_path / "out"
+    results = compare_dirs(str(a_dir), str(b_dir), output_dir=str(out_dir))
+    assert set(results) == {"dynamic_pitch"}
+    comp = results["dynamic_pitch"]
+    assert comp["matched"] == 2 and comp["only_b"] == 1 and comp["only_a"] == 0
+    np.testing.assert_allclose(comp["mean_delta"]["RPA"], 0.3, atol=1e-12)
+    np.testing.assert_allclose(comp["mean_delta"]["RCA"], 0.1, atol=1e-12)
+    np.testing.assert_allclose(comp["mean_delta"]["VUV"], 0.0, atol=1e-12)
+    by_rate = {row["rate_hz"]: row for row in comp["rows"]}
+    np.testing.assert_allclose(by_rate[4.0]["d_RPA"], 0.4, atol=1e-12)
+    np.testing.assert_allclose(by_rate[6.0]["d_RPA"], 0.2, atol=1e-12)
+    assert (out_dir / "dynamic_pitch_compare.csv").is_file()
+
+    summary = summarize(results)
+    assert summary["dynamic_pitch"]["matched_rows"] == 2
+    assert summary["dynamic_pitch"]["unmatched_rows"] == 1
