@@ -150,6 +150,51 @@ class JaxYinBackend(BaseF0Backend):
         return np.asarray(out, dtype=np.float64)[:, :true_frames]
 
 
+class JaxPyinBackend(JaxYinBackend):
+    """Batched pYIN (Mauch & Dixon 2014) on TPU.
+
+    YIN's CMND with a beta prior over voicing thresholds and a pitch-bin HMM
+    Viterbi decode (labels/yin.py ``pyin_batch``) — probabilistic voicing
+    instead of ``jax_yin``'s single fixed threshold.  No reference
+    counterpart; fills the smoothed-classical-tracker role of Praat's
+    ac+Viterbi path (f0_backends.py:437-578) with an on-device program.
+    """
+
+    backend_type = "jax_pyin"
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.cents_per_bin = self._coerce_float("cents_per_bin", 20.0)
+        self.switch_prob = self._coerce_float("switch_prob", 0.01)
+        self.max_step_cents = self._coerce_float("max_step_cents", 450.0)
+        self.beta_a = self._coerce_float("beta_a", 2.0)
+        self.beta_b = self._coerce_float("beta_b", 18.0)
+
+    def compute_batch(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        from .yin import pyin_batch
+
+        sr = int(sr or self.sample_rate)
+        hop = max(1, int(round(self.frame_period_ms * sr / 1000.0)))
+        batch = np.asarray(audio, dtype=np.float32)
+        if batch.ndim == 1:
+            batch = batch[None, :]
+        true_frames = 1 + batch.shape[1] // hop
+        padded = _pad_to_bucket(batch, sr, self.bucket_seconds)
+        out = pyin_batch(
+            padded,
+            sr,
+            hop,
+            fmin=self.fmin,
+            fmax=self.fmax,
+            cents_per_bin=self.cents_per_bin,
+            switch_prob=self.switch_prob,
+            max_step_cents=self.max_step_cents,
+            beta_a=self.beta_a,
+            beta_b=self.beta_b,
+        )
+        return np.asarray(out, dtype=np.float64)[:, :true_frames]
+
+
 class PyWorldBackend(BaseF0Backend):
     """Host pyworld wrapper (reference f0_backends.py:109-148)."""
 

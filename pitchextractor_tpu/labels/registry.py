@@ -17,6 +17,7 @@ from .backends import (
     JaxACBackend,
     JaxYinBackend,
     ParselmouthBackend,
+    JaxPyinBackend,
     PraatBackend,
     PyWorldBackend,
     SwiftF0Backend,
@@ -28,6 +29,8 @@ BACKEND_REGISTRY: Dict[str, Type[BaseF0Backend]] = {
     "tpu_ac": JaxACBackend,
     "jax_yin": JaxYinBackend,
     "yin": JaxYinBackend,
+    "jax_pyin": JaxPyinBackend,
+    "pyin": JaxPyinBackend,
     # reference-compatible backend types (f0_backends.py:587-593)
     "pyworld": PyWorldBackend,
     "crepe": CrepeBackend,

@@ -105,6 +105,52 @@ def test_yin_pure_tone():
     assert np.median(np.abs(1200 * np.log2(voiced / 220.0))) < 10
 
 
+def test_pyin_vibrato_and_silence():
+    from pitchextractor_tpu.labels.yin import pyin_batch
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(SR * 0.9)) / SR
+    f0_curve = 220.0 * 2.0 ** (0.05 * np.sin(2 * np.pi * 5 * t))
+    x = (0.4 * np.sin(2 * np.pi * np.cumsum(f0_curve) / SR)).astype(np.float32)
+    gap = int(0.15 * SR)
+    x[:gap] = 0.0
+    x[-gap:] = 0.0
+    x += (1e-3 * rng.standard_normal(x.size)).astype(np.float32)
+
+    # narrow search range keeps the CPU test cheap (fewer lags + HMM bins)
+    out = np.asarray(pyin_batch(x[None, :], SR, HOP, fmin=80.0, fmax=500.0))[0]
+    T = out.shape[0]
+    centers = np.arange(T) * HOP
+    ref = np.interp(centers, np.arange(x.size), f0_curve)
+    interior = (centers > gap + 2 * HOP) & (centers < x.size - gap - 2 * HOP)
+    pred = out[interior]
+    assert np.all(pred > 0), "voiced interior must stay voiced through the HMM"
+    cents = 1200 * np.abs(np.log2(pred / ref[interior]))
+    assert np.mean(cents <= 50) > 0.95
+    # silent head/tail decode as unvoiced away from the window boundary
+    head = out[centers < gap - 3 * HOP]
+    assert np.count_nonzero(head) <= max(1, head.size // 4)
+
+
+def test_pyin_backend_registered_and_batched():
+    from pitchextractor_tpu.labels.registry import BACKEND_REGISTRY
+    from pitchextractor_tpu.labels.backends import JaxPyinBackend
+
+    assert BACKEND_REGISTRY["jax_pyin"] is JaxPyinBackend
+    assert BACKEND_REGISTRY["pyin"] is JaxPyinBackend
+
+    backend = JaxPyinBackend(
+        "jax_pyin", SR, HOP, config={"fmin": 80.0, "fmax": 500.0}, verbose=False
+    )
+    batch = np.stack([_tone(220.0, 0.8), _tone(330.0, 0.8)])
+    out = backend.compute_batch(batch)
+    assert out.shape == (2, 1 + batch.shape[1] // HOP)
+    single = backend.compute(batch[1])
+    np.testing.assert_allclose(out[1], single, atol=1e-4)
+    voiced = out[0][out[0] > 0]
+    assert np.median(np.abs(1200 * np.log2(voiced / 220.0))) < 20
+
+
 def test_median_filter():
     x = np.array([1.0, 1.0, 9.0, 1.0, 1.0])
     np.testing.assert_array_equal(median_filter_1d(x, 3), [1, 1, 1, 1, 1])
