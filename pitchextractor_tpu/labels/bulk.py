@@ -36,25 +36,71 @@ def precompute_for_dataset(
     hop = dataset.mel_params["hop_length"]
     bucket = max(int(bucket_seconds * sr), hop)
 
-    # collect work items: (path, waveform, true_frames)
-    pending: List[Tuple[str, np.ndarray, int]] = []
+    missing: List[str] = []
     skipped_cached = 0
     failed: List[Tuple[str, str]] = []
     for path in dataset.data_list:
         if not force and dataset._load_cached_f0(path) is not None:
             skipped_cached += 1
-            continue
-        try:
-            wave, wsr = read_audio(path)
-        except (AudioDecodeError, OSError) as exc:
-            failed.append((path, str(exc)))
-            continue
+        else:
+            missing.append(path)
+
+    def _read_host(path: str) -> np.ndarray:
+        wave, wsr = read_audio(path)
         if wave.ndim > 1:
             wave = np.mean(wave, axis=-1)
         wave = wave.astype(np.float32)
         if wsr != sr:
             wave = resample_np(wave, wsr, sr)
-        pending.append((path, wave, 1 + len(wave) // hop))
+        return wave
+
+    # decode+downmix+resample pipelined on native C++ threads when the
+    # pexio pool is available (native/pexio.cpp); host fallback otherwise
+    pool = None
+    if missing:
+        try:
+            from ..io.native import NativePrefetchPool, native_info
+            import os as _os
+
+            pool = NativePrefetchPool(n_threads=min(8, _os.cpu_count() or 1))
+        except (RuntimeError, ImportError):
+            pool = None
+
+    # collect work items: (path, waveform, true_frames)
+    pending: List[Tuple[str, np.ndarray, int]] = []
+    jobs: List[Tuple[str, int]] = []
+    if pool is not None:
+        for path in missing:
+            info = native_info(path)
+            try:
+                jobs.append(
+                    (path, pool.submit(path, target_sr=sr, orig_sr=info[1] if info else None))
+                )
+            except RuntimeError as exc:
+                failed.append((path, str(exc)))
+    try:
+        if pool is not None:
+            for path, job in jobs:
+                try:
+                    wave, _ = pool.wait(job)
+                except OSError:
+                    try:
+                        wave = _read_host(path)  # numpy codec is more lenient
+                    except (AudioDecodeError, OSError) as exc:
+                        failed.append((path, str(exc)))
+                        continue
+                pending.append((path, wave, 1 + len(wave) // hop))
+        else:
+            for path in missing:
+                try:
+                    wave = _read_host(path)
+                except (AudioDecodeError, OSError) as exc:
+                    failed.append((path, str(exc)))
+                    continue
+                pending.append((path, wave, 1 + len(wave) // hop))
+    finally:
+        if pool is not None:
+            pool.close()
 
     # bucket by padded length so each bucket is one compiled shape
     buckets: Dict[int, List] = {}
