@@ -14,10 +14,13 @@ carry and per-step output through HBM every iteration.  This kernel instead:
   the VPU, double-buffering the output DMA back to HBM.
 
 Training support: ``pallas_call`` is not auto-differentiable, so the
-recurrence carries a custom VJP (guide: Patterns/Custom VJP).  The forward
-kernel emits both hidden and cell histories; the backward pass recomputes the
-gate activations for *all* steps in one batched matmul and runs a reverse
-``lax.scan`` for the carried (dc, dh) chain — the standard BPTT recurrence.
+recurrence carries a custom VJP (guide: Patterns/Custom VJP).  Under
+differentiation the forward kernel emits hidden and cell histories as ONE
+combined [h | c] output stream (one DMA per step); the primal path (inference
+— no grad traced) writes only the hidden history, halving output bandwidth.
+The backward pass recomputes the gate activations for *all* steps in one
+batched matmul and runs the reverse (dc, dh) chain — the standard BPTT
+recurrence — in a reverse-order Pallas kernel (or a ``lax.scan`` fallback).
 
 Gate order is [i, f, g, o], matching models/sequence.py (torch layout).
 """
@@ -60,122 +63,19 @@ def pallas_lstm_available() -> bool:
         return False
 
 
-def _lstm_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf, h, c,
-                 in_sems, hout_sems, cout_sems, *, T):
-    """Forward-order recurrence.
-
-    xp_ref: (T, B, 4H) HBM; whh_ref: (H, 4H) VMEM;
-    h_out_ref / c_out_ref: (T, B, H) HBM outputs.
-    """
-
-    def in_dma(slot, i):
-        return pltpu.make_async_copy(xp_ref.at[i], xbuf.at[slot], in_sems.at[slot])
-
-    def h_dma(slot, i):
-        return pltpu.make_async_copy(hbuf.at[slot], h_out_ref.at[i], hout_sems.at[slot])
-
-    def c_dma(slot, i):
-        return pltpu.make_async_copy(cbuf.at[slot], c_out_ref.at[i], cout_sems.at[slot])
-
-    h[:] = jnp.zeros_like(h)
-    c[:] = jnp.zeros_like(c)
-    in_dma(0, 0).start()
-
-    def body(i, _):
-        slot = lax.rem(i, 2)
-        next_slot = lax.rem(i + 1, 2)
-
-        @pl.when(i + 1 < T)
-        def _():
-            in_dma(next_slot, i + 1).start()
-
-        in_dma(slot, i).wait()
-
-        w = whh_ref[:]
-        hh = h[:].astype(w.dtype) if w.dtype != h.dtype else h[:]
-        gates = xbuf[slot] + jnp.dot(hh, w, preferred_element_type=jnp.float32)
-        H = h.shape[-1]
-        gi = jax.nn.sigmoid(gates[:, :H])
-        gf = jax.nn.sigmoid(gates[:, H : 2 * H])
-        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
-        go = jax.nn.sigmoid(gates[:, 3 * H :])
-        c[:] = gf * c[:] + gi * gg
-        h[:] = go * jnp.tanh(c[:])
-
-        # reclaim the output slots written two steps ago before overwriting
-        @pl.when(i >= 2)
-        def _():
-            h_dma(slot, i - 2).wait()
-            c_dma(slot, i - 2).wait()
-
-        hbuf[slot] = h[:]
-        cbuf[slot] = c[:]
-        h_dma(slot, i).start()
-        c_dma(slot, i).start()
-        return ()
-
-    lax.fori_loop(0, T, body, ())
-
-    @pl.when(T >= 2)
-    def _():
-        h_dma(lax.rem(T - 2, 2), T - 2).wait()
-        c_dma(lax.rem(T - 2, 2), T - 2).wait()
-
-    h_dma(lax.rem(T - 1, 2), T - 1).wait()
-    c_dma(lax.rem(T - 1, 2), T - 1).wait()
-
-
-def _forward_kernel_call(x_proj, w_hh):
-    T, B, H4 = x_proj.shape
-    H = H4 // 4
-    kernel = functools.partial(_lstm_kernel, T=T)
-    hs, cs = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, B, H4), jnp.float32),
-            pltpu.VMEM((2, B, H), jnp.float32),
-            pltpu.VMEM((2, B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * H * H4,
-            bytes_accessed=(T * B * H4 + 2 * T * B * H + H * H4) * 4,
-            transcendentals=4 * T * B * H,
-        ),
-        interpret=_INTERPRET,
-    )(x_proj.astype(jnp.float32), w_hh.astype(_kernel_weight_dtype()))
-    return hs, cs
-
-
 def _kernel_weight_dtype():
     return jnp.bfloat16 if _use_bf16_matmuls() and not _INTERPRET else jnp.float32
 
 
 @jax.custom_vjp
 def _lstm_recurrence(x_proj, w_hh):
-    hs, _ = _forward_kernel_call(x_proj, w_hh)
-    return hs
+    # inference path (no grad traced): skip the cell-state history entirely
+    return _multichain_kernel_call(x_proj[:, None], w_hh[None], save_carry=False)[:, 0]
 
 
 def _lstm_fwd(x_proj, w_hh):
-    hs, cs = _forward_kernel_call(x_proj, w_hh)
-    return hs, (x_proj, w_hh, hs, cs)
+    hs, cs = _multichain_kernel_call(x_proj[:, None], w_hh[None], save_carry=True)
+    return hs[:, 0], (x_proj, w_hh, hs[:, 0], cs[:, 0])
 
 
 def _lstm_bwd_core(x_proj, w_hh, hs, cs, g):
@@ -248,19 +148,21 @@ _lstm_recurrence.defvjp(_lstm_fwd, _lstm_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _multichain_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf,
-                       h, c, in_sems, hout_sems, cout_sems, *, T, C):
-    """xp_ref: (T, C, B, 4H) HBM; whh_ref: (C, H, 4H) VMEM;
-    h_out_ref/c_out_ref: (T, C, B, H) HBM."""
+def _multichain_kernel(xp_ref, whh_ref, out_ref, xbuf, obuf, h, c,
+                       in_sems, out_sems, *, T, C, save_carry):
+    """xp_ref: (T, C, B, 4H) HBM; whh_ref: (C, H, 4H) VMEM.
+
+    out_ref: (T, C, B, 2H) HBM when ``save_carry`` (training: per-step
+    [h | c] concatenated on the lane axis, ONE output DMA stream instead of
+    separate h/c streams), else (T, C, B, H) (inference: the cell-state
+    history is never materialised, halving output bandwidth).
+    """
 
     def in_dma(slot, i):
         return pltpu.make_async_copy(xp_ref.at[i], xbuf.at[slot], in_sems.at[slot])
 
-    def h_dma(slot, i):
-        return pltpu.make_async_copy(hbuf.at[slot], h_out_ref.at[i], hout_sems.at[slot])
-
-    def c_dma(slot, i):
-        return pltpu.make_async_copy(cbuf.at[slot], c_out_ref.at[i], cout_sems.at[slot])
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(obuf.at[slot], out_ref.at[i], out_sems.at[slot])
 
     h[:] = jnp.zeros_like(h)
     c[:] = jnp.zeros_like(c)
@@ -288,75 +190,73 @@ def _multichain_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf,
             c[k] = gf * c[k] + gi * gg
             h[k] = go * jnp.tanh(c[k])
 
+        # reclaim the output slot written two steps ago before overwriting
         @pl.when(i >= 2)
         def _():
-            h_dma(slot, i - 2).wait()
-            c_dma(slot, i - 2).wait()
+            out_dma(slot, i - 2).wait()
 
-        hbuf[slot] = h[:]
-        cbuf[slot] = c[:]
-        h_dma(slot, i).start()
-        c_dma(slot, i).start()
+        if save_carry:
+            obuf[slot, :, :, :H] = h[:]
+            obuf[slot, :, :, H:] = c[:]
+        else:
+            obuf[slot] = h[:]
+        out_dma(slot, i).start()
         return ()
 
     lax.fori_loop(0, T, body, ())
 
     @pl.when(T >= 2)
     def _():
-        h_dma(lax.rem(T - 2, 2), T - 2).wait()
-        c_dma(lax.rem(T - 2, 2), T - 2).wait()
+        out_dma(lax.rem(T - 2, 2), T - 2).wait()
 
-    h_dma(lax.rem(T - 1, 2), T - 1).wait()
-    c_dma(lax.rem(T - 1, 2), T - 1).wait()
+    out_dma(lax.rem(T - 1, 2), T - 1).wait()
 
 
-def _multichain_kernel_call(x_proj, w_hh):
-    """x_proj: (T, C, B, 4H); w_hh: (C, H, 4H) -> hs, cs (T, C, B, H)."""
+def _multichain_kernel_call(x_proj, w_hh, save_carry):
+    """x_proj: (T, C, B, 4H); w_hh: (C, H, 4H).
+
+    -> (hs, cs) each (T, C, B, H) when ``save_carry``, else hs only.
+    """
     T, C, B, H4 = x_proj.shape
     H = H4 // 4
-    kernel = functools.partial(_multichain_kernel, T=T, C=C)
-    hs, cs = pl.pallas_call(
+    out_width = 2 * H if save_carry else H
+    kernel = functools.partial(_multichain_kernel, T=T, C=C, save_carry=save_carry)
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((T, C, B, out_width), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, C, B, H4), jnp.float32),
-            pltpu.VMEM((2, C, B, H), jnp.float32),
-            pltpu.VMEM((2, C, B, H), jnp.float32),
+            pltpu.VMEM((2, C, B, out_width), jnp.float32),
             pltpu.VMEM((C, B, H), jnp.float32),
             pltpu.VMEM((C, B, H), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * C * B * H * H4,
-            bytes_accessed=(T * C * B * H4 + 2 * T * C * B * H + C * H * H4) * 4,
+            bytes_accessed=(T * C * B * H4 + T * C * B * out_width + C * H * H4) * 4,
             transcendentals=4 * T * C * B * H,
         ),
         interpret=_INTERPRET,
     )(x_proj.astype(jnp.float32), w_hh.astype(_kernel_weight_dtype()))
-    return hs, cs
+    if save_carry:
+        return out[..., :H], out[..., H:]
+    return out
 
 
 @jax.custom_vjp
 def _bilstm_recurrence(x_proj2, w_hh2):
-    hs, _ = _multichain_kernel_call(x_proj2, w_hh2)
-    return hs
+    # inference path (no grad traced): skip the cell-state history entirely
+    return _multichain_kernel_call(x_proj2, w_hh2, save_carry=False)
 
 
 def _bilstm_fwd(x_proj2, w_hh2):
-    hs, cs = _multichain_kernel_call(x_proj2, w_hh2)
+    hs, cs = _multichain_kernel_call(x_proj2, w_hh2, save_carry=True)
     return hs, (x_proj2, w_hh2, hs, cs)
 
 
