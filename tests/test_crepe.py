@@ -118,6 +118,28 @@ def test_shipped_weights_accuracy():
         assert np.median(cents_err) < 50, (freq, np.median(cents_err))
 
 
+SHIPPED_SMALL = "weights/crepe_small.npz"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isfile(SHIPPED_SMALL), reason="small weights absent"
+)
+def test_shipped_crepe_small_full_band():
+    """Round-2 gate: CREPE-small must hold median error < 50 cents down to
+    65 Hz (the torchcrepe-quality-parity criterion from the round-1 review)."""
+    labeler = CrepeLabeler(capacity="small", weights_path=SHIPPED_SMALL)
+    t = np.arange(CREPE_SAMPLE_RATE) / CREPE_SAMPLE_RATE
+    for freq in (65.0, 110.0, 220.0, 440.0, 880.0, 1000.0):
+        phase = 2 * np.pi * freq * t
+        audio = (
+            0.3 * (np.sin(phase) + 0.4 * np.sin(2 * phase) + 0.2 * np.sin(3 * phase))
+        ).astype(np.float32)
+        f0, periodicity = labeler.predict(audio, CREPE_SAMPLE_RATE, 256)
+        voiced = f0[5:-5]
+        cents_err = np.abs(1200 * np.log2(np.maximum(voiced, 1e-3) / freq))
+        assert np.median(cents_err) < 50, (freq, float(np.median(cents_err)))
+
+
 def test_torchcrepe_layout_conversion():
     """convert_crepe_weights maps a torchcrepe-layout state dict onto our
     flax tree (verified by loading and running the converted weights)."""
