@@ -9,6 +9,12 @@ analytic contour in the legacy ``_f0.npy`` cache format (loaded verbatim by
 the data layer, reference meldataset.py:598-603), so training supervision is
 exact by construction.
 
+A third stimulus class (``sweep_share``) covers the dynamic-pitch domain the
+robustness suites probe and slow vowel segments do not: piecewise log-linear
+sweeps with node slew up to ~13 octaves/s across 60-950 Hz and vibrato up to
+250 cents deep at 2-10 Hz (the suite grid tops out at 200 cents / 8 Hz and
+60->500 Hz glides in 0.4 s, Utils/dynamic_pitch_behavior.ipynb).
+
 Usage:
   python tools/make_corpus.py --root Data/corpus_r2 [--n 300] [--tone-share 0.4]
 """
@@ -27,11 +33,48 @@ SR = 24000
 HOP = 300
 
 
+def _sweep_tone(rng: np.random.Generator, duration: float):
+    """Fast piecewise log-linear sweep with optional deep vibrato.
+
+    Returns (waveform float32, frame contour float32) with exact analytic F0.
+    """
+    n = int(SR * duration)
+    t = np.arange(n) / SR
+
+    n_nodes = int(rng.integers(3, 9))
+    node_t = np.sort(rng.uniform(0.0, duration, n_nodes))
+    node_t[0], node_t[-1] = 0.0, duration
+    node_f = np.exp(rng.uniform(np.log(60.0), np.log(950.0), n_nodes))
+    f0 = np.exp(np.interp(t, node_t, np.log(node_f)))
+
+    if rng.random() < 0.6:
+        rate = rng.uniform(2.0, 10.0)
+        depth_cents = rng.uniform(20.0, 250.0)
+        f0 = f0 * 2.0 ** ((depth_cents / 1200.0) * np.sin(2 * np.pi * rate * t))
+
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    n_partials = int(rng.integers(1, 5))
+    rolloff = rng.uniform(0.3, 0.7)
+    x = np.zeros(n)
+    for k in range(1, n_partials + 1):
+        if k * f0.max() < SR / 2:
+            x += (rolloff ** (k - 1)) * np.sin(k * phase)
+    peak = np.abs(x).max()
+    if peak > 0:
+        x *= rng.uniform(0.25, 0.6) / peak
+    x += 10.0 ** (-50.0 / 20.0) * rng.standard_normal(n)
+
+    n_frames = 1 + n // HOP
+    frame_idx = np.minimum(np.arange(n_frames) * HOP, n - 1)
+    return x.astype(np.float32), f0[frame_idx].astype(np.float32)
+
+
 def make_corpus(
     root: str,
     n: int = 300,
     n_val: int = 40,
     tone_share: float = 0.4,
+    sweep_share: float = 0.0,
     seed: int = 11,
     min_duration: float = 2.6,
     max_duration: float = 3.2,
@@ -67,8 +110,12 @@ def make_corpus(
     total = n + n_val
     paths = []
     for i in range(total):
-        synth = tone_synth if rng.random() < tone_share else vowel_synth
-        wave, contour = synth.generate()
+        draw = rng.random()
+        if draw < sweep_share:
+            wave, contour = _sweep_tone(rng, rng.uniform(min_duration, max_duration))
+        else:
+            synth = tone_synth if draw < sweep_share + tone_share else vowel_synth
+            wave, contour = synth.generate()
         # silence head/tail so voicing boundaries are trained too
         lead = int(SR * rng.uniform(0.05, 0.25))
         trail = int(SR * rng.uniform(0.05, 0.25))
@@ -101,9 +148,10 @@ def make_corpus(
 @click.option("--n", default=300, type=int)
 @click.option("--n-val", default=40, type=int)
 @click.option("--tone-share", default=0.4, type=float)
+@click.option("--sweep-share", default=0.0, type=float)
 @click.option("--seed", default=11, type=int)
-def main(root, n, n_val, tone_share, seed):
-    print(make_corpus(root, n, n_val, tone_share, seed))
+def main(root, n, n_val, tone_share, sweep_share, seed):
+    print(make_corpus(root, n, n_val, tone_share, sweep_share, seed))
 
 
 if __name__ == "__main__":
