@@ -189,18 +189,24 @@ def tolerant_merge(target, source, force_load: bool = True, path: str = ""):
             else:
                 out[key] = tolerant_merge(tval, sval, force_load, f"{path}/{key}")
         return out
-    # leaf
-    tval = np.asarray(target)
+    # leaf — compare via shape/dtype metadata first: target leaves may live
+    # on the device (restoring into a live Trainer), and np.asarray on a
+    # device array is a synchronous device->host fetch.  One fetch per leaf
+    # over a remote transport turns restore into minutes; only the
+    # shape-mismatch overlap-copy path actually needs the target's values.
     try:
         sval = np.asarray(source)
     except Exception:
         logger.info("not exist :%s", path)
         return target
-    if sval.shape == tval.shape:
-        return sval.astype(tval.dtype) if sval.dtype != tval.dtype else sval
-    logger.info("%s does not have same shape: %s vs %s", path, sval.shape, tval.shape)
+    t_shape = tuple(getattr(target, "shape", np.shape(target)))
+    t_dtype = np.dtype(getattr(target, "dtype", None) or np.asarray(target).dtype)
+    if sval.shape == t_shape:
+        return sval.astype(t_dtype) if sval.dtype != t_dtype else sval
+    logger.info("%s does not have same shape: %s vs %s", path, sval.shape, t_shape)
     if not force_load:
         return target
+    tval = np.asarray(target)
     min_shape = np.minimum(np.array(sval.shape), np.array(tval.shape)) if sval.ndim == tval.ndim else None
     if min_shape is None:
         return target

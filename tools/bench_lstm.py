@@ -125,9 +125,18 @@ def main():
     xp4, w4 = _inputs(4)
 
     # ---- forward variants ----
+    # NOTE: _bilstm_recurrence without grad is the inference path
+    # (save_carry=False: no cell-state history written); fwd_train_* time the
+    # with-carry forward the VJP uses (combined [h|c] output stream).
     run("fwd_scan_c2", lambda xp, w: _scan_chain(xp[:, 0], w[0]) + _scan_chain(xp[:, 1], w[1]), (xp2, w2))
     run("fwd_pallas_c2", lambda xp, w: m._bilstm_recurrence(xp, w)[:, 0], (xp2, w2))
     run("fwd_pallas_c4", lambda xp, w: m._bilstm_recurrence(xp, w)[:, 0], (xp4, w4), steps_per_model_step=768)
+    run(
+        "fwd_train_c4",
+        lambda xp, w: m._multichain_kernel_call(xp, w, save_carry=True)[0],
+        (xp4, w4),
+        steps_per_model_step=768,
+    )
 
     # ---- forward+backward variants ----
     def loss_pallas(xp, w):
