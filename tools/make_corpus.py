@@ -47,9 +47,10 @@ def _sweep_tone(rng: np.random.Generator, duration: float):
     node_f = np.exp(rng.uniform(np.log(60.0), np.log(950.0), n_nodes))
     f0 = np.exp(np.interp(t, node_t, np.log(node_f)))
 
-    if rng.random() < 0.6:
+    if rng.random() < 0.8:
         rate = rng.uniform(2.0, 10.0)
-        depth_cents = rng.uniform(20.0, 250.0)
+        # sqrt-uniform: more mass on the deep end the suites probe (120-200c)
+        depth_cents = 20.0 + 240.0 * np.sqrt(rng.random())
         f0 = f0 * 2.0 ** ((depth_cents / 1200.0) * np.sin(2 * np.pi * rate * t))
 
     phase = 2 * np.pi * np.cumsum(f0) / SR
@@ -69,12 +70,62 @@ def _sweep_tone(rng: np.random.Generator, duration: float):
     return x.astype(np.float32), f0[frame_idx].astype(np.float32)
 
 
+def _burst_tone(rng: np.random.Generator, duration: float):
+    """Short voiced burst inside an otherwise-silent file.
+
+    Covers the suites' short stimuli (e.g. a 0.4 s glide is the entire
+    file, dynamic_pitch_tools.py): a 0.3-1.4 s glide-or-vibrato tone at a
+    random offset, zeros elsewhere — so chunked inference over mostly-padded
+    windows is in the training domain.
+    """
+    n = int(SR * duration)
+    voiced_s = rng.uniform(0.3, 1.4)
+    nv = int(SR * voiced_s)
+    start = int(rng.uniform(0.0, max(duration - voiced_s, 1e-3)) * SR)
+    tv = np.arange(nv) / SR
+
+    f_a = np.exp(rng.uniform(np.log(60.0), np.log(900.0)))
+    f_b = np.exp(rng.uniform(np.log(60.0), np.log(900.0)))
+    f0v = f_a * (f_b / f_a) ** (tv / voiced_s)  # log-linear glide (or ~flat)
+    if rng.random() < 0.5:
+        rate = rng.uniform(3.0, 9.0)
+        depth = rng.uniform(20.0, 220.0)
+        f0v = f0v * 2.0 ** ((depth / 1200.0) * np.sin(2 * np.pi * rate * tv))
+
+    phase = 2 * np.pi * np.cumsum(f0v) / SR
+    n_partials = int(rng.integers(1, 4))
+    rolloff = rng.uniform(0.3, 0.7)
+    xv = np.zeros(nv)
+    for k in range(1, n_partials + 1):
+        if k * f0v.max() < SR / 2:
+            xv += (rolloff ** (k - 1)) * np.sin(k * phase)
+    fade = min(int(0.02 * SR), nv // 4)
+    env = np.ones(nv)
+    env[:fade] = np.linspace(0.0, 1.0, fade)
+    env[-fade:] = np.linspace(1.0, 0.0, fade)
+    xv *= env
+    peak = np.abs(xv).max()
+    if peak > 0:
+        xv *= rng.uniform(0.25, 0.6) / peak
+
+    x = np.zeros(n)
+    x[start : start + nv] = xv
+    x += 10.0 ** (-55.0 / 20.0) * rng.standard_normal(n)
+
+    f0 = np.zeros(n)
+    f0[start : start + nv] = f0v
+    n_frames = 1 + n // HOP
+    frame_idx = np.minimum(np.arange(n_frames) * HOP, n - 1)
+    return x.astype(np.float32), f0[frame_idx].astype(np.float32)
+
+
 def make_corpus(
     root: str,
     n: int = 300,
     n_val: int = 40,
     tone_share: float = 0.4,
     sweep_share: float = 0.0,
+    burst_share: float = 0.0,
     seed: int = 11,
     min_duration: float = 2.6,
     max_duration: float = 3.2,
@@ -113,8 +164,10 @@ def make_corpus(
         draw = rng.random()
         if draw < sweep_share:
             wave, contour = _sweep_tone(rng, rng.uniform(min_duration, max_duration))
+        elif draw < sweep_share + burst_share:
+            wave, contour = _burst_tone(rng, rng.uniform(min_duration, max_duration))
         else:
-            synth = tone_synth if draw < sweep_share + tone_share else vowel_synth
+            synth = tone_synth if draw < sweep_share + burst_share + tone_share else vowel_synth
             wave, contour = synth.generate()
         # silence head/tail so voicing boundaries are trained too
         lead = int(SR * rng.uniform(0.05, 0.25))
@@ -149,9 +202,10 @@ def make_corpus(
 @click.option("--n-val", default=40, type=int)
 @click.option("--tone-share", default=0.4, type=float)
 @click.option("--sweep-share", default=0.0, type=float)
+@click.option("--burst-share", default=0.0, type=float)
 @click.option("--seed", default=11, type=int)
-def main(root, n, n_val, tone_share, sweep_share, seed):
-    print(make_corpus(root, n, n_val, tone_share, sweep_share, seed))
+def main(root, n, n_val, tone_share, sweep_share, burst_share, seed):
+    print(make_corpus(root, n, n_val, tone_share, sweep_share, burst_share, seed))
 
 
 if __name__ == "__main__":
