@@ -303,11 +303,20 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu") -> None:
         n_mels=N_MELS,
         max_mel_length=T_FRAMES,
     )
+    # resumable like the torch stage: full state (params+opt+steps) saved
+    # every 50 steps so the run survives kills/timeouts
+    resume_path = os.path.join(out, "resume.ckpt")
+    start = 0
+    if os.path.isfile(resume_path):
+        trainer.load_checkpoint(resume_path, load_only_params=False)
+        start = int(trainer.steps)
+        print(f"resuming from step {start}", flush=True)
+
     log_path = os.path.join(out, "train_log.jsonl")
     t0 = time.time()
     with open(log_path, "a") as log:
-        for i, path in enumerate(files):
-            data = np.load(path)
+        for i in range(start, len(files)):
+            data = np.load(files[i])
             metrics = trainer.run((data["mels"], data["f0"], data["sil"]))
             if (i + 1) % 10 == 0:
                 rec = {
@@ -318,6 +327,8 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu") -> None:
                 log.write(json.dumps(rec) + "\n")
                 log.flush()
                 print(rec, flush=True)
+            if (i + 1) % 50 == 0:
+                trainer.save_checkpoint(resume_path)
     trainer.save_checkpoint(os.path.join(out, "model.ckpt"))
     print(f"train-jax done: {len(files)} steps in {time.time() - t0:.0f}s")
 
