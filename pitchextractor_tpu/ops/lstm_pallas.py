@@ -15,12 +15,12 @@ carry and per-step output through HBM every iteration.  This kernel instead:
 
 Training support: ``pallas_call`` is not auto-differentiable, so the
 recurrence carries a custom VJP (guide: Patterns/Custom VJP).  Under
-differentiation the forward kernel emits hidden and cell histories as ONE
-combined [h | c] output stream (one DMA per step); the primal path (inference
-— no grad traced) writes only the hidden history, halving output bandwidth.
-The backward pass recomputes the gate activations for *all* steps in one
-batched matmul and runs the reverse (dc, dh) chain — the standard BPTT
-recurrence — in a reverse-order Pallas kernel (or a ``lax.scan`` fallback).
+differentiation the forward kernel emits both hidden and cell histories; the
+primal path (inference — no grad traced) runs a separate kernel that never
+materialises the cell history, halving output bandwidth.  The backward pass
+recomputes the gate activations for *all* steps in one batched matmul and
+runs the reverse (dc, dh) chain — the standard BPTT recurrence — in a
+reverse-order Pallas kernel (or a ``lax.scan`` fallback).
 
 Gate order is [i, f, g, o], matching models/sequence.py (torch layout).
 """
@@ -148,21 +148,27 @@ _lstm_recurrence.defvjp(_lstm_fwd, _lstm_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _multichain_kernel(xp_ref, whh_ref, out_ref, xbuf, obuf, h, c,
-                       in_sems, out_sems, *, T, C, save_carry):
-    """xp_ref: (T, C, B, 4H) HBM; whh_ref: (C, H, 4H) VMEM.
+def _multichain_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf,
+                       h, c, in_sems, hout_sems, cout_sems, *, T, C):
+    """Training forward: xp_ref (T, C, B, 4H) HBM; whh_ref (C, H, 4H) VMEM;
+    h_out_ref / c_out_ref (T, C, B, H) HBM (the cell history feeds BPTT).
 
-    out_ref: (T, C, B, 2H) HBM when ``save_carry`` (training: per-step
-    [h | c] concatenated on the lane axis, ONE output DMA stream instead of
-    separate h/c streams), else (T, C, B, H) (inference: the cell-state
-    history is never materialised, halving output bandwidth).
+    Measured note: a combined per-step [h | c] (C, B, 2H) output stream was
+    tried and benched SLOWER than two contiguous stores + two DMA issues
+    (12.9 vs 11.7 ms model recurrence — the strided lane writes into the
+    wide buffer cost more than the saved DMA issue), so separate streams
+    stay.  Inference uses ``_multichain_inference_kernel`` instead, which
+    skips the cell history entirely (10.5 ms).
     """
 
     def in_dma(slot, i):
         return pltpu.make_async_copy(xp_ref.at[i], xbuf.at[slot], in_sems.at[slot])
 
-    def out_dma(slot, i):
-        return pltpu.make_async_copy(obuf.at[slot], out_ref.at[i], out_sems.at[slot])
+    def h_dma(slot, i):
+        return pltpu.make_async_copy(hbuf.at[slot], h_out_ref.at[i], hout_sems.at[slot])
+
+    def c_dma(slot, i):
+        return pltpu.make_async_copy(cbuf.at[slot], c_out_ref.at[i], cout_sems.at[slot])
 
     h[:] = jnp.zeros_like(h)
     c[:] = jnp.zeros_like(c)
@@ -178,38 +184,89 @@ def _multichain_kernel(xp_ref, whh_ref, out_ref, xbuf, obuf, h, c,
 
         in_dma(slot, i).wait()
 
-        H = h.shape[-1]
-        for k in range(C):  # static unroll over chains
-            w = whh_ref[k]
-            hk = h[k].astype(w.dtype) if w.dtype != h.dtype else h[k]
-            gates = xbuf[slot, k] + jnp.dot(hk, w, preferred_element_type=jnp.float32)
-            gi = jax.nn.sigmoid(gates[:, :H])
-            gf = jax.nn.sigmoid(gates[:, H : 2 * H])
-            gg = jnp.tanh(gates[:, 2 * H : 3 * H])
-            go = jax.nn.sigmoid(gates[:, 3 * H :])
-            c[k] = gf * c[k] + gi * gg
-            h[k] = go * jnp.tanh(c[k])
+        _advance_chains(xbuf, whh_ref, h, c, slot, C)
 
-        # reclaim the output slot written two steps ago before overwriting
+        # reclaim the output slots written two steps ago before overwriting
         @pl.when(i >= 2)
         def _():
-            out_dma(slot, i - 2).wait()
+            h_dma(slot, i - 2).wait()
+            c_dma(slot, i - 2).wait()
 
-        if save_carry:
-            obuf[slot, :, :, :H] = h[:]
-            obuf[slot, :, :, H:] = c[:]
-        else:
-            obuf[slot] = h[:]
-        out_dma(slot, i).start()
+        hbuf[slot] = h[:]
+        cbuf[slot] = c[:]
+        h_dma(slot, i).start()
+        c_dma(slot, i).start()
         return ()
 
     lax.fori_loop(0, T, body, ())
 
     @pl.when(T >= 2)
     def _():
-        out_dma(lax.rem(T - 2, 2), T - 2).wait()
+        h_dma(lax.rem(T - 2, 2), T - 2).wait()
+        c_dma(lax.rem(T - 2, 2), T - 2).wait()
 
-    out_dma(lax.rem(T - 1, 2), T - 1).wait()
+    h_dma(lax.rem(T - 1, 2), T - 1).wait()
+    c_dma(lax.rem(T - 1, 2), T - 1).wait()
+
+
+def _advance_chains(xbuf, whh_ref, h, c, slot, C):
+    """One LSTM step for all C chains (static unroll); updates h/c in place."""
+    H = h.shape[-1]
+    for k in range(C):
+        w = whh_ref[k]
+        hk = h[k].astype(w.dtype) if w.dtype != h.dtype else h[k]
+        gates = xbuf[slot, k] + jnp.dot(hk, w, preferred_element_type=jnp.float32)
+        gi = jax.nn.sigmoid(gates[:, :H])
+        gf = jax.nn.sigmoid(gates[:, H : 2 * H])
+        gg = jnp.tanh(gates[:, 2 * H : 3 * H])
+        go = jax.nn.sigmoid(gates[:, 3 * H :])
+        c[k] = gf * c[k] + gi * gg
+        h[k] = go * jnp.tanh(c[k])
+
+
+def _multichain_inference_kernel(xp_ref, whh_ref, h_out_ref, xbuf, hbuf, h, c,
+                                 in_sems, hout_sems, *, T, C):
+    """Inference forward: as the training kernel but the cell-state history
+    is never written to HBM — h is the only output stream (half the output
+    bandwidth; 10.5 vs 11.7 ms model recurrence measured at C=4)."""
+
+    def in_dma(slot, i):
+        return pltpu.make_async_copy(xp_ref.at[i], xbuf.at[slot], in_sems.at[slot])
+
+    def h_dma(slot, i):
+        return pltpu.make_async_copy(hbuf.at[slot], h_out_ref.at[i], hout_sems.at[slot])
+
+    h[:] = jnp.zeros_like(h)
+    c[:] = jnp.zeros_like(c)
+    in_dma(0, 0).start()
+
+    def body(i, _):
+        slot = lax.rem(i, 2)
+        next_slot = lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < T)
+        def _():
+            in_dma(next_slot, i + 1).start()
+
+        in_dma(slot, i).wait()
+
+        _advance_chains(xbuf, whh_ref, h, c, slot, C)
+
+        @pl.when(i >= 2)
+        def _():
+            h_dma(slot, i - 2).wait()
+
+        hbuf[slot] = h[:]
+        h_dma(slot, i).start()
+        return ()
+
+    lax.fori_loop(0, T, body, ())
+
+    @pl.when(T >= 2)
+    def _():
+        h_dma(lax.rem(T - 2, 2), T - 2).wait()
+
+    h_dma(lax.rem(T - 1, 2), T - 1).wait()
 
 
 def _multichain_kernel_call(x_proj, w_hh, save_carry):
@@ -219,19 +276,51 @@ def _multichain_kernel_call(x_proj, w_hh, save_carry):
     """
     T, C, B, H4 = x_proj.shape
     H = H4 // 4
-    out_width = 2 * H if save_carry else H
-    kernel = functools.partial(_multichain_kernel, T=T, C=C, save_carry=save_carry)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((T, C, B, out_width), jnp.float32),
+    common = dict(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
+        interpret=_INTERPRET,
+    )
+    args = (x_proj.astype(jnp.float32), w_hh.astype(_kernel_weight_dtype()))
+    if save_carry:
+        kernel = functools.partial(_multichain_kernel, T=T, C=C)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
+                jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
+            ),
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, C, B, H4), jnp.float32),
+                pltpu.VMEM((2, C, B, H), jnp.float32),
+                pltpu.VMEM((2, C, B, H), jnp.float32),
+                pltpu.VMEM((C, B, H), jnp.float32),
+                pltpu.VMEM((C, B, H), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * C * B * H * H4,
+                bytes_accessed=(T * C * B * H4 + 2 * T * C * B * H + C * H * H4) * 4,
+                transcendentals=4 * T * C * B * H,
+            ),
+            **common,
+        )(*args)
+    kernel = functools.partial(_multichain_inference_kernel, T=T, C=C)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, C, B, H4), jnp.float32),
-            pltpu.VMEM((2, C, B, out_width), jnp.float32),
+            pltpu.VMEM((2, C, B, H), jnp.float32),
             pltpu.VMEM((C, B, H), jnp.float32),
             pltpu.VMEM((C, B, H), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -239,14 +328,11 @@ def _multichain_kernel_call(x_proj, w_hh, save_carry):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * C * B * H * H4,
-            bytes_accessed=(T * C * B * H4 + T * C * B * out_width + C * H * H4) * 4,
+            bytes_accessed=(T * C * B * H4 + T * C * B * H + C * H * H4) * 4,
             transcendentals=4 * T * C * B * H,
         ),
-        interpret=_INTERPRET,
-    )(x_proj.astype(jnp.float32), w_hh.astype(_kernel_weight_dtype()))
-    if save_carry:
-        return out[..., :H], out[..., H:]
-    return out
+        **common,
+    )(*args)
 
 
 @jax.custom_vjp
