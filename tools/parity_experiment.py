@@ -109,7 +109,13 @@ def _synth_utterance(rng: np.random.Generator, duration_s: float):
     return x.astype(np.float32), contour.astype(np.float32)
 
 
-def stage_gen(root: str, seed: int = 7) -> None:
+def stage_gen(root: str, seed: int = 7, phase: int = 1) -> None:
+    """Phase 1: synthesize the corpus + dump the epoch 0-49 batch stream.
+
+    Phase 2 (extension; the 500-step phase-1 runs end with both models still
+    at RPA~0 — too undertrained for an accuracy comparison): dump epochs
+    50-99 from the same corpus with a reseeded crop stream.  Both trainers
+    then replay these identical batches as a phase-2 fine-tune segment."""
     _force_cpu_jax()
     from pitchextractor_tpu.data import build_dataloader
     from pitchextractor_tpu.io import write_wav
@@ -117,25 +123,32 @@ def stage_gen(root: str, seed: int = 7) -> None:
     os.makedirs(root, exist_ok=True)
     rng = np.random.default_rng(seed)
     lists = {"train": [], "val": []}
-    for split, count in (("train", N_TRAIN), ("val", N_VAL)):
-        for i in range(count):
-            path = os.path.join(root, f"{split}_{i:03d}.wav")
-            wav, contour = _synth_utterance(rng, rng.uniform(2.4, 3.2))
-            write_wav(path, wav, SR)
-            # legacy-format cache: loaded verbatim by both pipelines, so the
-            # "labels" are the analytic truth and identical by construction
-            np.save(path + "_f0.npy", contour)
-            lists[split].append(path)
-    for split in lists:
-        with open(os.path.join(root, f"{split}_list.txt"), "w") as fh:
-            fh.writelines(p + "|x\n" for p in lists[split])
+    if phase == 1:
+        for split, count in (("train", N_TRAIN), ("val", N_VAL)):
+            for i in range(count):
+                path = os.path.join(root, f"{split}_{i:03d}.wav")
+                wav, contour = _synth_utterance(rng, rng.uniform(2.4, 3.2))
+                write_wav(path, wav, SR)
+                # legacy-format cache: loaded verbatim by both pipelines, so
+                # the "labels" are analytic truth and identical by construction
+                np.save(path + "_f0.npy", contour)
+                lists[split].append(path)
+        for split in lists:
+            with open(os.path.join(root, f"{split}_list.txt"), "w") as fh:
+                fh.writelines(p + "|x\n" for p in lists[split])
+    else:
+        lists["train"] = [
+            line.split("|")[0]
+            for line in open(os.path.join(root, "train_list.txt")).read().splitlines()
+            if line
+        ]
 
     # dump the realized batch stream once; both trainers replay it
     dataset_config = {
         "mel_params": MEL_PARAMS,
         "f0_params": {},
         "verbose": False,
-        "seed": seed,
+        "seed": seed if phase == 1 else seed + 1000,
     }
     loader = build_dataloader(
         [p + "|x" for p in lists["train"]],
@@ -144,18 +157,12 @@ def stage_gen(root: str, seed: int = 7) -> None:
         num_workers=1,
         dataset_config=dataset_config,
     )
-    val_loader = build_dataloader(
-        [p + "|x" for p in lists["val"]],
-        validation=True,
-        batch_size=BATCH,
-        num_workers=1,
-        dataset_config=dict(dataset_config),
-    )
     batch_dir = os.path.join(root, "batches")
     os.makedirs(batch_dir, exist_ok=True)
     t0 = time.time()
     n_steps = 0
-    for epoch in range(EPOCHS):
+    epoch_range = range(EPOCHS) if phase == 1 else range(EPOCHS, 2 * EPOCHS)
+    for epoch in epoch_range:
         for step, (mels, f0s, sils) in enumerate(loader):
             np.savez(
                 os.path.join(batch_dir, f"ep{epoch:03d}_s{step:02d}.npz"),
@@ -164,7 +171,14 @@ def stage_gen(root: str, seed: int = 7) -> None:
                 sil=sils.astype(np.float32),
             )
             n_steps += 1
-        if epoch == 0:
+        if epoch == 0 and phase == 1:
+            val_loader = build_dataloader(
+                [p + "|x" for p in lists["val"]],
+                validation=True,
+                batch_size=BATCH,
+                num_workers=1,
+                dataset_config=dict(dataset_config),
+            )
             for step, (mels, f0s, sils) in enumerate(val_loader):
                 np.savez(
                     os.path.join(batch_dir, f"val_s{step:02d}.npz"),
@@ -172,29 +186,39 @@ def stage_gen(root: str, seed: int = 7) -> None:
                     f0=f0s.astype(np.float32),
                     sil=sils.astype(np.float32),
                 )
-    meta = {
-        "epochs": EPOCHS,
-        "batch": BATCH,
-        "steps": n_steps,
-        "steps_per_epoch": n_steps // EPOCHS,
-        "seq_cfg": SEQ_CFG,
-        "lr": LR,
-        "seed": seed,
-    }
+    if phase == 1:
+        meta = {
+            "epochs": EPOCHS,
+            "batch": BATCH,
+            "steps": n_steps,
+            "steps_per_epoch": n_steps // EPOCHS,
+            "seq_cfg": SEQ_CFG,
+            "lr": LR,
+            "seed": seed,
+        }
+    else:
+        meta = json.load(open(os.path.join(root, "meta.json")))
+        meta["steps2"] = n_steps
+        meta["lr2"] = LR / 2  # phase-2 fine-tune OneCycle peak
     with open(os.path.join(root, "meta.json"), "w") as fh:
         json.dump(meta, fh, indent=2)
-    print(f"gen done: {n_steps} train steps dumped in {time.time() - t0:.0f}s")
+    print(f"gen phase {phase} done: {n_steps} steps dumped in {time.time() - t0:.0f}s")
 
 
-def _batch_files(root: str):
+def _batch_files(root: str, phase: int = 1):
     meta = json.load(open(os.path.join(root, "meta.json")))
     files = sorted(glob.glob(os.path.join(root, "batches", "ep*.npz")))
-    assert len(files) == meta["steps"], (len(files), meta["steps"])
-    return meta, files
+    phase1 = [f for f in files if int(os.path.basename(f)[2:5]) < meta["epochs"]]
+    phase2 = [f for f in files if int(os.path.basename(f)[2:5]) >= meta["epochs"]]
+    if phase == 1:
+        assert len(phase1) == meta["steps"], (len(phase1), meta["steps"])
+        return meta, phase1
+    assert len(phase2) == meta.get("steps2"), (len(phase2), meta.get("steps2"))
+    return meta, phase2
 
 
 # ---------------------------------------------------------------- torch side
-def stage_train_torch(root: str, out: str) -> None:
+def stage_train_torch(root: str, out: str, phase: int = 1) -> None:
     sys.path.insert(0, "/root/reference")
     import torch
 
@@ -203,16 +227,23 @@ def stage_train_torch(root: str, out: str) -> None:
     import trainer as ref_trainer
 
     torch.manual_seed(0)
-    meta, files = _batch_files(root)
+    meta, files = _batch_files(root, phase)
     os.makedirs(out, exist_ok=True)
+    suffix = "" if phase == 1 else "2"
+    lr = meta["lr"] if phase == 1 else meta["lr2"]
 
     net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
+    if phase == 2:
+        # warm start from the phase-1 result; fresh OneCycle segment
+        net.load_state_dict(
+            torch.load(os.path.join(out, "model.pth"), map_location="cpu")
+        )
     optimizer, scheduler = ref_optimizers.build_optimizer(
         {
             "params": net.parameters(),
-            "optimizer_params": {"lr": meta["lr"]},
+            "optimizer_params": {"lr": lr},
             "scheduler_params": {
-                "max_lr": meta["lr"],
+                "max_lr": lr,
                 "epochs": meta["epochs"],
                 "steps_per_epoch": meta["steps_per_epoch"],
             },
@@ -229,7 +260,7 @@ def stage_train_torch(root: str, out: str) -> None:
     )
 
     # resumable: full state saved every 25 steps so the run survives kills
-    resume_path = os.path.join(out, "resume.pth")
+    resume_path = os.path.join(out, f"resume{suffix}.pth")
     start = 0
     if os.path.isfile(resume_path):
         snap = torch.load(resume_path, map_location="cpu")
@@ -239,7 +270,7 @@ def stage_train_torch(root: str, out: str) -> None:
         start = int(snap["step"])
         print(f"resuming from step {start}", flush=True)
 
-    log_path = os.path.join(out, "train_log.jsonl")
+    log_path = os.path.join(out, f"train_log{suffix}.jsonl")
     t0 = time.time()
     with open(log_path, "a") as log:
         for i in range(start, len(files)):
@@ -266,28 +297,30 @@ def stage_train_torch(root: str, out: str) -> None:
                     },
                     resume_path,
                 )
-    torch.save(net.state_dict(), os.path.join(out, "model.pth"))
-    print(f"train-torch done: {len(files)} steps in {time.time() - t0:.0f}s")
+    torch.save(net.state_dict(), os.path.join(out, f"model{suffix}.pth"))
+    print(f"train-torch phase {phase} done: {len(files)} steps in {time.time() - t0:.0f}s")
 
 
 # ------------------------------------------------------------------ jax side
-def stage_train_jax(root: str, out: str, platform: str = "cpu") -> None:
+def stage_train_jax(root: str, out: str, platform: str = "cpu", phase: int = 1) -> None:
     if platform == "cpu":
         _force_cpu_jax()
     from pitchextractor_tpu.models import JDCNet
     from pitchextractor_tpu.parallel import make_mesh
     from pitchextractor_tpu.train import Trainer, build_optimizer
 
-    meta, files = _batch_files(root)
+    meta, files = _batch_files(root, phase)
     os.makedirs(out, exist_ok=True)
+    suffix = "" if phase == 1 else "2"
+    lr = meta["lr"] if phase == 1 else meta["lr2"]
 
     model = JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
     tx, schedule = build_optimizer(
         {
             "params": None,
-            "optimizer_params": {"lr": meta["lr"]},
+            "optimizer_params": {"lr": lr},
             "scheduler_params": {
-                "max_lr": meta["lr"],
+                "max_lr": lr,
                 "epochs": meta["epochs"],
                 "steps_per_epoch": meta["steps_per_epoch"],
             },
@@ -305,14 +338,17 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu") -> None:
     )
     # resumable like the torch stage: full state (params+opt+steps) saved
     # every 50 steps so the run survives kills/timeouts
-    resume_path = os.path.join(out, "resume.ckpt")
+    resume_path = os.path.join(out, f"resume{suffix}.ckpt")
     start = 0
     if os.path.isfile(resume_path):
         trainer.load_checkpoint(resume_path, load_only_params=False)
         start = int(trainer.steps)
         print(f"resuming from step {start}", flush=True)
+    elif phase == 2:
+        # warm start from the phase-1 result; fresh OneCycle segment
+        trainer.load_checkpoint(os.path.join(out, "model.ckpt"), load_only_params=True)
 
-    log_path = os.path.join(out, "train_log.jsonl")
+    log_path = os.path.join(out, f"train_log{suffix}.jsonl")
     t0 = time.time()
     with open(log_path, "a") as log:
         for i in range(start, len(files)):
@@ -329,8 +365,8 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu") -> None:
                 print(rec, flush=True)
             if (i + 1) % 50 == 0:
                 trainer.save_checkpoint(resume_path)
-    trainer.save_checkpoint(os.path.join(out, "model.ckpt"))
-    print(f"train-jax done: {len(files)} steps in {time.time() - t0:.0f}s")
+    trainer.save_checkpoint(os.path.join(out, f"model{suffix}.ckpt"))
+    print(f"train-jax phase {phase} done: {len(files)} steps in {time.time() - t0:.0f}s")
 
 
 # --------------------------------------------------------------------- eval
@@ -340,7 +376,7 @@ def _torch_predict_f0(net, audio: np.ndarray, melspec) -> np.ndarray:
     stride frames of each chunk)."""
     import torch
 
-    mel = melspec(audio[None, :])[0]  # (M, T)
+    mel = melspec(audio)  # (M, T); __call__ takes a 1-D waveform
     mel = (np.log(1e-5 + mel) + 4.0) / 4.0
     total = 1 + len(audio) // HOP
     step = T_FRAMES - 48
@@ -366,7 +402,9 @@ def _voicing_f1(truth_voiced: np.ndarray, pred_voiced: np.ndarray) -> float:
     return 2 * tp / max(2 * tp + fp + fn, 1e-9)
 
 
-def stage_evaluate(root: str, torch_run: str, jax_run: str, csv_path: str) -> None:
+def stage_evaluate(
+    root: str, torch_run: str, jax_run: str, csv_path: str, phase: int = 1
+) -> None:
     _force_cpu_jax()
     sys.path.insert(0, "/root/reference")
     import torch
@@ -379,9 +417,12 @@ def stage_evaluate(root: str, torch_run: str, jax_run: str, csv_path: str) -> No
     from pitchextractor_tpu.io import read_audio
 
     meta = json.load(open(os.path.join(root, "meta.json")))
+    suffix = "" if phase == 1 else "2"
 
     net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
-    net.load_state_dict(torch.load(os.path.join(torch_run, "model.pth"), map_location="cpu"))
+    net.load_state_dict(
+        torch.load(os.path.join(torch_run, f"model{suffix}.pth"), map_location="cpu")
+    )
     melspec = MelSpectrogram(
         sample_rate=SR,
         n_fft=MEL_PARAMS["n_fft"],
@@ -390,7 +431,7 @@ def stage_evaluate(root: str, torch_run: str, jax_run: str, csv_path: str) -> No
         n_mels=N_MELS,
     )
 
-    model, variables = load_model(os.path.join(jax_run, "model.ckpt"))
+    model, variables = load_model(os.path.join(jax_run, f"model{suffix}.ckpt"))
     predictor = F0Predictor(model, variables, mel_params=MEL_PARAMS)
 
     val_paths = [
@@ -451,6 +492,7 @@ def main():
     for name in ("gen", "train-torch", "train-jax", "evaluate"):
         p = sub.add_parser(name)
         p.add_argument("--root", required=True)
+        p.add_argument("--phase", type=int, default=1, choices=(1, 2))
         if name == "train-torch":
             p.add_argument("--out", required=True)
         if name == "train-jax":
@@ -462,13 +504,13 @@ def main():
             p.add_argument("--csv", required=True)
     args = parser.parse_args()
     if args.stage == "gen":
-        stage_gen(args.root)
+        stage_gen(args.root, phase=args.phase)
     elif args.stage == "train-torch":
-        stage_train_torch(args.root, args.out)
+        stage_train_torch(args.root, args.out, phase=args.phase)
     elif args.stage == "train-jax":
-        stage_train_jax(args.root, args.out, args.platform)
+        stage_train_jax(args.root, args.out, args.platform, phase=args.phase)
     elif args.stage == "evaluate":
-        stage_evaluate(args.root, args.torch_run, args.jax_run, args.csv)
+        stage_evaluate(args.root, args.torch_run, args.jax_run, args.csv, phase=args.phase)
 
 
 if __name__ == "__main__":
