@@ -22,6 +22,8 @@ import functools
 import os
 from typing import Optional, Tuple
 
+import logging
+
 import numpy as np
 
 import jax
@@ -32,6 +34,8 @@ import flax.linen as nn
 
 from .base import BackendUnavailableError, packaged_weights_path
 from ..dsp.resample import resample_np
+
+LOGGER = logging.getLogger(__name__)
 
 CREPE_SAMPLE_RATE = 16000
 CREPE_WINDOW = 1024
@@ -138,22 +142,41 @@ class CrepeLabeler:
         fmin: float = 50.0,
         fmax: float = 1100.0,
     ) -> None:
-        self.capacity_name = capacity
-        self.capacity = CREPE_CAPACITIES[capacity]
         self.fmin = float(fmin)
         self.fmax = float(fmax)
-        self.model = CrepeModel(capacity=self.capacity)
 
         if weights_path is None:
             weights_path = os.environ.get("PEX_CREPE_WEIGHTS")
         if weights_path is None:
             weights_path = packaged_weights_path(f"crepe_{capacity}.npz")
+            if not weights_path or not os.path.isfile(str(weights_path)):
+                # Fall back to the largest packaged capacity below the
+                # request (the reference's torchcrepe ships every size;
+                # this build ships self-trained small/tiny — a user asking
+                # for 'full' gets the best available instead of a skip).
+                order = list(CREPE_CAPACITIES)
+                for cand in reversed(order[: order.index(capacity) + 1]):
+                    cand_path = packaged_weights_path(f"crepe_{cand}.npz")
+                    if cand_path and os.path.isfile(str(cand_path)):
+                        LOGGER.warning(
+                            "CREPE '%s' weights not packaged; falling back to "
+                            "packaged '%s' weights (%s)",
+                            capacity,
+                            cand,
+                            cand_path,
+                        )
+                        capacity = cand
+                        weights_path = cand_path
+                        break
         if not weights_path or not os.path.isfile(str(weights_path)):
             raise BackendUnavailableError(
                 f"CREPE '{capacity}' weights not found "
                 f"(weights_path={weights_path!r}); convert them with "
                 "tools/convert_crepe_weights.py or set PEX_CREPE_WEIGHTS"
             )
+        self.capacity_name = capacity
+        self.capacity = CREPE_CAPACITIES[capacity]
+        self.model = CrepeModel(capacity=self.capacity)
         self.variables = load_crepe_weights(str(weights_path), self.capacity)
 
     def predict(

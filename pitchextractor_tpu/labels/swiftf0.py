@@ -176,7 +176,9 @@ class SwiftF0Labeler:
                 "train them with tools/train_swiftf0.py or set "
                 "PEX_SWIFTF0_WEIGHTS"
             )
-        self.variables, self.format = load_swiftf0_weights(str(weights_path))
+        self.variables, self.format, self.calibration = load_swiftf0_weights(
+            str(weights_path)
+        )
         self.model = SwiftF0ModelV2() if self.format == 2 else SwiftF0Model()
         self._logf_fb = logf_filterbank() if self.format == 2 else None
 
@@ -203,6 +205,14 @@ class SwiftF0Labeler:
         f0, confidence = _forward(self.model.apply, self.variables, jnp.asarray(patch))
         f0 = np.asarray(f0[0], dtype=np.float64)
         confidence = np.asarray(confidence[0], dtype=np.float64)
+        if self.calibration is not None:
+            # Self-trained weights learn against Gaussian-smoothed targets,
+            # capping the raw softmax peak well below 1.0 (sigma=2 bins caps
+            # it near 0.2).  The stored logistic map rescales to the official
+            # swift_f0 confidence range so the reference default threshold
+            # (0.9, Configs/config.yml) keeps its meaning.
+            c0, s = self.calibration
+            confidence = 1.0 / (1.0 + np.exp(-(confidence - c0) / s))
         voicing = (
             (confidence >= self.confidence_threshold)
             & (f0 >= self.fmin)
@@ -212,7 +222,11 @@ class SwiftF0Labeler:
 
 
 def load_swiftf0_weights(path: str):
-    """-> (variables, format) where format 1 = v1 (1-D conv), 2 = v2."""
+    """-> (variables, format, calibration).
+
+    format 1 = v1 (1-D conv), 2 = v2.  calibration is ``(c0, s)`` for the
+    logistic confidence map or ``None`` (raw softmax peak, pre-calibration
+    weight files)."""
     data = np.load(path)
     fmt = int(data["format"]) if "format" in data.files else 1
     params = {}
@@ -221,12 +235,18 @@ def load_swiftf0_weights(path: str):
             "kernel": jnp.asarray(data[f"{name}.kernel"]),
             "bias": jnp.asarray(data[f"{name}.bias"]),
         }
-    return {"params": params}, fmt
+    calibration = None
+    if "conf_c0" in data.files and "conf_s" in data.files:
+        calibration = (float(data["conf_c0"]), float(data["conf_s"]))
+    return {"params": params}, fmt, calibration
 
 
-def save_swiftf0_weights(path: str, variables, fmt: int = 1) -> None:
+def save_swiftf0_weights(path: str, variables, fmt: int = 1, calibration=None) -> None:
     arrays = {"format": np.asarray(fmt, dtype=np.int32)}
     for name, leaf in variables["params"].items():
         arrays[f"{name}.kernel"] = np.asarray(leaf["kernel"])
         arrays[f"{name}.bias"] = np.asarray(leaf["bias"])
+    if calibration is not None:
+        arrays["conf_c0"] = np.asarray(calibration[0], dtype=np.float32)
+        arrays["conf_s"] = np.asarray(calibration[1], dtype=np.float32)
     np.savez(path, **arrays)

@@ -158,4 +158,55 @@ def train_swiftf0(
     variables = {"params": params}
     if output_path:
         save_swiftf0_weights(output_path, variables, fmt=2 if arch == "v2" else 1)
+        calibration = calibrate_confidence(output_path)
+        save_swiftf0_weights(
+            output_path, variables, fmt=2 if arch == "v2" else 1, calibration=calibration
+        )
+        print(f"[swiftf0-train] confidence calibration c0={calibration[0]:.4f} s={calibration[1]:.4f}")
     return variables
+
+
+def calibrate_confidence(weights_path: str, seed: int = 0):
+    """Fit the logistic confidence map for a trained weights file.
+
+    Cross-entropy against Gaussian-smoothed targets caps the raw softmax
+    peak near the smoothed target's own peak (~0.2 at sigma=2 bins), so the
+    official swift_f0 threshold scale (0.9 = standard operating point,
+    reference f0_backends.py:384-393) doesn't transfer.  Measure the raw
+    peak distribution on synthetic voiced (tones/harmonics/deep vibrato
+    over 65-1000 Hz) vs unvoiced (silence/noise) frames and place the
+    logistic so that confidence 0.9 falls at the gap between them:
+    cut = sqrt(voiced_p5 * unvoiced_p99), s = gap/8, c0 = cut - s*ln 9.
+    """
+    from .swiftf0 import SwiftF0Labeler
+
+    labeler = SwiftF0Labeler(weights_path=weights_path)
+    labeler.calibration = None  # measure raw peaks
+    sr = 24000
+    n = sr
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(seed)
+    voiced, unvoiced = [], []
+    for f in (65.0, 90.0, 130.0, 200.0, 320.0, 500.0, 750.0, 1000.0):
+        for n_partials in (1, 3, 6):
+            x = np.zeros(n)
+            for k in range(1, n_partials + 1):
+                if k * f < 8000.0:
+                    x += (0.6 ** (k - 1)) * np.sin(2 * np.pi * k * f * t)
+            x = (0.4 * x / max(np.abs(x).max(), 1e-9)).astype(np.float32)
+            voiced.append(labeler.detect(x, sr)[1])
+    for depth in (120.0, 200.0):
+        f0 = 220.0 * 2.0 ** ((depth / 1200.0) * np.sin(2 * np.pi * 8.0 * t))
+        x = (0.4 * np.sin(2 * np.pi * np.cumsum(f0) / sr)).astype(np.float32)
+        voiced.append(labeler.detect(x, sr)[1])
+    for amp in (0.0, 0.05, 0.2):
+        x = (amp * rng.standard_normal(n)).astype(np.float32)
+        unvoiced.append(labeler.detect(x, sr)[1])
+    v = np.concatenate(voiced)
+    u = np.concatenate(unvoiced)
+    hi = float(np.quantile(v, 0.05))
+    lo = float(max(np.quantile(u, 0.99), 1e-4))
+    cut = float(np.sqrt(max(hi, lo * 1.01) * lo))
+    s = max((hi - lo) / 8.0, 1e-3)
+    c0 = cut - s * np.log(9.0)
+    return float(c0), float(s)

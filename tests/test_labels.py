@@ -383,6 +383,64 @@ def test_shipped_swiftf0_v2_full_band():
         assert np.median(cents) < 50, (freq, float(np.median(cents)))
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.isfile(SHIPPED_SWIFTF0_V2), reason="v2 weights absent"
+)
+def test_swiftf0_facade_default_threshold_voices_pure_sine():
+    """Regression: the facade with the reference default confidence
+    threshold (0.9) must voice a clean pure sine.  Self-trained weights cap
+    the raw softmax peak near the smoothed-target peak (~0.2), so the
+    shipped npz carries a logistic calibration mapping the raw peak onto
+    the official swift_f0 confidence scale; without it every frame came
+    back unvoiced (round-2 labeler_ceiling run)."""
+    from pitchextractor_tpu.labels import build_f0_extractor
+
+    sr, hop = 24000, 300
+    t = np.arange(sr) / sr
+    audio = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    ext = build_f0_extractor(
+        sr,
+        hop,
+        {"backend_order": ["swiftf0"], "backends": {"swiftf0": {"enabled": True}}},
+        verbose=False,
+    )
+    f0 = ext.compute(audio, sr).f0
+    voiced = f0 > 0
+    assert voiced.mean() > 0.8, voiced.mean()
+    cents = np.abs(1200 * np.log2(f0[voiced] / 220.0))
+    assert np.median(cents) < 50
+
+    # silence must stay unvoiced under the same calibrated threshold: the
+    # cascade then exhausts and raises (reference f0_backends.py:776-785)
+    from pitchextractor_tpu.labels.base import BackendComputationError
+
+    with pytest.raises(BackendComputationError):
+        ext.compute(np.zeros(sr, np.float32), sr)
+
+
+def test_crepe_capacity_fallback_to_packaged_weights():
+    """Regression: configuring the reference default ``model: full`` (no
+    full-capacity npz shipped) falls back to the best packaged capacity
+    instead of skipping the backend; explicit weights_path still wins."""
+    pytest.importorskip("flax")
+    import os as _os
+
+    if not _os.path.isfile("weights/crepe_small.npz"):
+        pytest.skip("packaged crepe weights absent")
+    from pitchextractor_tpu.labels.crepe import CrepeLabeler
+
+    lab = CrepeLabeler(capacity="full")
+    assert lab.capacity_name in ("small", "tiny")
+    sr = 24000
+    t = np.arange(sr) / sr
+    audio = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    f0, periodicity = lab.predict(audio, sr, 300)
+    voiced = f0[(f0 > 0)]
+    assert voiced.size > 0.5 * f0.size
+    cents = np.abs(1200 * np.log2(voiced / 220.0))
+    assert np.median(cents) < 50
+
+
 def test_logf_filterbank_properties():
     """v2 front-end: unit-sum rows, geometric centers recovered, no empty
     rows at the low end (where triangles get narrower than a linear bin)."""
