@@ -79,26 +79,45 @@ def synthetic_frame_batches(
                 cents[i] = 0.0
                 i += 1
                 continue
-            if rng.random() < 0.5:
-                # harmonic vowel
+            if rng.random() < 0.4:
+                # harmonic vowel; per-hop contour -> window-CENTER label via
+                # the log-midpoint of the bracketing hop values
                 wave, f0 = synth.generate()
+                f0 = np.asarray(f0, dtype=np.float64)
+                center = f0.copy()
+                both = (f0[:-1] > 0) & (f0[1:] > 0)
+                center[:-1][both] = np.sqrt(f0[:-1][both] * f0[1:][both])
             else:
-                # plain (possibly vibrato'd) sine with exact F0
-                n = CREPE_WINDOW * rng.integers(2, 6)
+                # sine with exact F0: stationary, vibrato (to ~360 cents deep
+                # at 2-9 Hz) or log-linear glide (to ~6 octaves/s) — the
+                # dynamic-pitch domain the suites probe.  Labels are sampled
+                # at the WINDOW CENTER: a start-of-window label is off by
+                # half a window (32 ms), which at deep-vibrato slew rates is
+                # hundreds of cents of systematic label error (round-2
+                # labeler_ceiling: crepe_small 0.17-0.55 RPA on those rows).
+                n = int(CREPE_WINDOW * rng.integers(2, 6))
                 base = np.exp(rng.uniform(np.log(fmin), np.log(fmax)))
                 t = np.arange(n) / CREPE_SAMPLE_RATE
-                curve = base * 2 ** (
-                    rng.uniform(0, 0.3) * np.sin(2 * np.pi * rng.uniform(3, 7) * t)
-                )
+                kind = rng.random()
+                if kind < 0.4:
+                    curve = np.full(n, base)
+                elif kind < 0.75:
+                    depth_oct = rng.uniform(0.0, 0.3)
+                    rate = rng.uniform(2.0, 9.0)
+                    curve = base * 2.0 ** (depth_oct * np.sin(2 * np.pi * rate * t))
+                else:
+                    target = np.exp(rng.uniform(np.log(fmin), np.log(fmax)))
+                    curve = base * (target / base) ** (t / t[-1])
+                curve = np.clip(curve, fmin, fmax)
                 phase = np.cumsum(2 * np.pi * curve / CREPE_SAMPLE_RATE)
                 wave = (10 ** (rng.uniform(-20, -3) / 20) * np.sin(phase)).astype(np.float32)
-                f0 = curve[:: CREPE_WINDOW].astype(np.float32)
-            n_frames = min(len(f0), len(wave) // CREPE_WINDOW)
+                center = curve[CREPE_WINDOW // 2 :: CREPE_WINDOW].astype(np.float64)
+            n_frames = min(len(center), len(wave) // CREPE_WINDOW)
             for k in range(n_frames):
                 if i >= batch_size:
                     break
                 frames[i] = wave[k * CREPE_WINDOW : (k + 1) * CREPE_WINDOW]
-                hz = float(f0[k])
+                hz = float(center[k])
                 cents[i] = 1200.0 * np.log2(hz / 10.0) if hz > 0 else 0.0
                 i += 1
         yield frames, _cents_to_bin_targets(cents)

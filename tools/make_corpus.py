@@ -125,6 +125,69 @@ def _glide_tone(rng: np.random.Generator, duration: float):
     return x.astype(np.float32), f0[frame_idx].astype(np.float32)
 
 
+def _vibrato_tone(rng: np.random.Generator, duration: float):
+    """Full-file steady-base vibrato (suite's vibrato grid domain).
+
+    The stage-d model predicts near the vibrato MEAN on 60-200 cent rows
+    (RPA ~ asin(50/depth)/(pi/2) — the flat-contour signature): fast
+    oscillations are averaged away because training contours are mostly
+    slow.  This class supplies full-file constant-base vibrato with depth
+    mass in the winnable 40-150 cent band at 4-10 Hz so the recurrent head
+    must reproduce the oscillation, not its mean.
+    """
+    n = int(SR * duration)
+    t = np.arange(n) / SR
+    base = np.exp(rng.uniform(np.log(100.0), np.log(700.0)))
+    rate = rng.uniform(4.0, 10.0)
+    depth = rng.uniform(40.0, 150.0) if rng.random() < 0.75 else rng.uniform(150.0, 250.0)
+    f0 = base * 2.0 ** ((depth / 1200.0) * np.sin(2 * np.pi * rate * t + rng.uniform(0, 2 * np.pi)))
+    return _render_partials(rng, f0, n_partials_max=3), f0[_frame_idx(n)].astype(np.float32)
+
+
+def _wander_tone(rng: np.random.Generator, duration: float):
+    """Slow deep pitch wander (degradation suites' base stimulus family).
+
+    The codec/room/noise suites ride a 0.2-0.5-octave sinusoidal wander
+    (eval/suites.py wander_curve) and the stage-d model under-tracks the
+    wide excursions even at <=1 Hz (clean baseline RPA 0.56-0.73).  Depth
+    0.15-0.7 octaves at 0.3-1.5 Hz, random base/phase.
+    """
+    n = int(SR * duration)
+    t = np.arange(n) / SR
+    base = np.exp(rng.uniform(np.log(120.0), np.log(450.0)))
+    depth_oct = rng.uniform(0.15, 0.7)
+    rate = rng.uniform(0.3, 1.5)
+    f0 = base * 2.0 ** (depth_oct * np.sin(2 * np.pi * rate * t + rng.uniform(0, 2 * np.pi)))
+    f0 = np.clip(f0, 60.0, 950.0)
+    return _render_partials(rng, f0, n_partials_max=4), f0[_frame_idx(n)].astype(np.float32)
+
+
+def _frame_idx(n: int) -> np.ndarray:
+    return np.minimum(np.arange(1 + n // HOP) * HOP, n - 1)
+
+
+def _render_partials(rng: np.random.Generator, f0: np.ndarray, n_partials_max: int):
+    """Render an F0 curve as 1..n_partials_max harmonics + fade + noise floor."""
+    n = len(f0)
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    n_partials = int(rng.integers(1, n_partials_max + 1))
+    rolloff = rng.uniform(0.3, 0.7)
+    x = np.zeros(n)
+    for k in range(1, n_partials + 1):
+        if k * f0.max() < SR / 2:
+            x += (rolloff ** (k - 1)) * np.sin(k * phase)
+    fade = int(0.01 * SR)
+    env = np.ones(n)
+    env[:fade] = np.linspace(0.0, 1.0, fade)
+    env[-fade:] = np.linspace(1.0, 0.0, fade)
+    x *= env
+    peak = np.abs(x).max()
+    if peak > 0:
+        x *= rng.uniform(0.25, 0.6) / peak
+    x += 10.0 ** (-50.0 / 20.0) * rng.standard_normal(n)
+    return x.astype(np.float32)
+
+
 def _augment(rng: np.random.Generator, wave: np.ndarray) -> np.ndarray:
     """Label-preserving signal degradation (round-2d robustness mix).
 
@@ -222,6 +285,8 @@ def make_corpus(
     sweep_share: float = 0.0,
     burst_share: float = 0.0,
     glide_share: float = 0.0,
+    vibrato_share: float = 0.0,
+    wander_share: float = 0.0,
     augment_share: float = 0.0,
     seed: int = 11,
     min_duration: float = 2.6,
@@ -259,18 +324,22 @@ def make_corpus(
     paths = []
     for i in range(total):
         draw = rng.random()
-        if draw < sweep_share:
-            wave, contour = _sweep_tone(rng, rng.uniform(min_duration, max_duration))
-        elif draw < sweep_share + burst_share:
-            wave, contour = _burst_tone(rng, rng.uniform(min_duration, max_duration))
-        elif draw < sweep_share + burst_share + glide_share:
-            wave, contour = _glide_tone(rng, rng.uniform(min_duration, max_duration))
+        duration = rng.uniform(min_duration, max_duration)
+        edges = np.cumsum(
+            [sweep_share, burst_share, glide_share, vibrato_share, wander_share, tone_share]
+        )
+        if draw < edges[0]:
+            wave, contour = _sweep_tone(rng, duration)
+        elif draw < edges[1]:
+            wave, contour = _burst_tone(rng, duration)
+        elif draw < edges[2]:
+            wave, contour = _glide_tone(rng, duration)
+        elif draw < edges[3]:
+            wave, contour = _vibrato_tone(rng, duration)
+        elif draw < edges[4]:
+            wave, contour = _wander_tone(rng, duration)
         else:
-            synth = (
-                tone_synth
-                if draw < sweep_share + burst_share + glide_share + tone_share
-                else vowel_synth
-            )
+            synth = tone_synth if draw < edges[5] else vowel_synth
             wave, contour = synth.generate()
         if rng.random() < augment_share:
             wave = _augment(rng, wave)
@@ -309,9 +378,23 @@ def make_corpus(
 @click.option("--sweep-share", default=0.0, type=float)
 @click.option("--burst-share", default=0.0, type=float)
 @click.option("--glide-share", default=0.0, type=float)
+@click.option("--vibrato-share", default=0.0, type=float)
+@click.option("--wander-share", default=0.0, type=float)
 @click.option("--augment-share", default=0.0, type=float)
 @click.option("--seed", default=11, type=int)
-def main(root, n, n_val, tone_share, sweep_share, burst_share, glide_share, augment_share, seed):
+def main(
+    root,
+    n,
+    n_val,
+    tone_share,
+    sweep_share,
+    burst_share,
+    glide_share,
+    vibrato_share,
+    wander_share,
+    augment_share,
+    seed,
+):
     print(
         make_corpus(
             root,
@@ -321,6 +404,8 @@ def main(root, n, n_val, tone_share, sweep_share, burst_share, glide_share, augm
             sweep_share,
             burst_share,
             glide_share,
+            vibrato_share,
+            wander_share,
             augment_share,
             seed,
         )
