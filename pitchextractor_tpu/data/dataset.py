@@ -319,7 +319,7 @@ class MelDataset:
         if not use_full_file:
             expected_frames = int(np.ceil(len(waveform) / max(hop_length, 1))) + 2
 
-        f0 = self._load_or_compute_f0(
+        f0, f0_frame_aligned = self._load_or_compute_f0(
             path,
             waveform,
             wave_sr,
@@ -336,7 +336,12 @@ class MelDataset:
         cache_key = path if use_full_file else None
         allow_cache = (not self.data_augmentation) and use_full_file
         return self._build_training_example(
-            waveform, sr=wave_sr, f0=f0, cache_key=cache_key, allow_cache=allow_cache
+            waveform,
+            sr=wave_sr,
+            f0=f0,
+            cache_key=cache_key,
+            allow_cache=allow_cache,
+            f0_frame_aligned=f0_frame_aligned,
         )
 
     def _mark_path_invalid(self, path: str, exc: Exception) -> None:
@@ -455,6 +460,7 @@ class MelDataset:
                 f0=f0.astype(np.float32),
                 cache_key=None,
                 allow_cache=False,
+                f0_frame_aligned=True,  # synthesizer emits hop-grid contours
             )
 
         if generator_name != "pitch_shift":
@@ -498,7 +504,7 @@ class MelDataset:
             waveform = waveform.astype(np.float32)
             if wave_sr != self.sr:
                 waveform = resample_np(waveform, wave_sr, self.sr)
-            base_f0 = self._load_or_compute_f0(base_path, waveform, self.sr)
+            base_f0, base_f0_aligned = self._load_or_compute_f0(base_path, waveform, self.sr)
             if base_f0.size == 0:
                 if force and attempt == max_attempts - 1:
                     break
@@ -539,6 +545,7 @@ class MelDataset:
                 f0=shifted_f0,
                 cache_key=None,
                 allow_cache=False,
+                f0_frame_aligned=base_f0_aligned,
             )
         return None
 
@@ -557,18 +564,26 @@ class MelDataset:
         expected_frames: Optional[int] = None,
         use_cache: bool = True,
         write_cache: bool = True,
-    ) -> np.ndarray:
+    ):
+        """-> (contour, frame_aligned): frame_aligned=True means index k of
+        the contour holds f0 at sample k*hop of ``waveform`` (trim to mel
+        frames; do NOT rescale)."""
         if use_cache:
             cached_f0 = self._load_cached_f0(path)
             if cached_f0 is not None:
                 if expected_frames is None:
-                    return cached_f0
+                    return cached_f0, True
                 hop = max(int(self.mel_params["hop_length"]), 1)
-                start_index = max(0, int(math.floor(start_sample / float(hop))))
+                # Nearest-frame slice start (not floor): cache frame k holds
+                # f0 at sample k*hop (window center), so rounding keeps the
+                # sliced label grid within half a frame of the segment's own
+                # centred STFT grid.  The reference floors here
+                # (meldataset.py:532-537) — a mean half-frame label delay.
+                start_index = max(0, int(round(start_sample / float(hop))))
                 if start_index >= cached_f0.shape[0]:
-                    return np.zeros((0,), dtype=np.float32)
+                    return np.zeros((0,), dtype=np.float32), True
                 end_index = min(cached_f0.shape[0], start_index + int(expected_frames) + 4)
-                return cached_f0[start_index:end_index]
+                return cached_f0[start_index:end_index], True
 
         if self.verbose:
             active = self.f0_extractor.describe_backends()
@@ -588,6 +603,9 @@ class MelDataset:
             backend_name = ""
             if self.verbose:
                 print(f"[MelDataset] F0 computation failed for {path}; using zeros")
+        # Freshly-computed contours use the backend's own frame grid (e.g.
+        # swiftf0 runs at 16 ms frames) — NOT frame-aligned to the mel hop;
+        # align_length's linear rescale is the mechanism that maps them.
 
         cache_entire = (
             use_cache
@@ -599,7 +617,7 @@ class MelDataset:
         )
         if cache_entire:
             self._save_f0_cache(path, f0, backend_name)
-        return f0
+        return f0, False
 
     def _load_cached_f0(self, path: str):
         if not self._cache_enabled:
@@ -654,7 +672,32 @@ class MelDataset:
 
     # ------------------------------------------------------------------
     # training example (reference meldataset.py:629-677)
-    def _build_training_example(self, waveform, sr, f0, cache_key=None, allow_cache=True):
+    def _align_f0_to_frames(self, f0, mel_length: int, frame_aligned: bool):
+        """Map a contour onto ``mel_length`` centred STFT frames.
+
+        Frame-aligned contours (cache slices, synthesizer output — frame k
+        already holds f0 at sample k*hop of this waveform) are trimmed or
+        edge-padded: rescaling them with ``align_length`` — what the
+        reference does unconditionally (meldataset.py:656 over a slice cut
+        with a +4-frame margin at :532-537) — time-warps the labels by up to
+        the margin (~6 frames ≈ 75 ms across a training segment), which
+        measurably taught round-1/2 models a ~20 ms phase lead and an
+        attenuated response to fast vibrato (tools/diagnose_vibrato.py,
+        tools/check_label_alignment.py).  Non-aligned contours come from
+        backends with their own frame rate and do need the linear rescale.
+        """
+        if not frame_aligned:
+            return self.f0_extractor.align_length(f0, mel_length)
+        f0 = np.asarray(f0, dtype=np.float32)
+        if f0.size >= mel_length:
+            return f0[:mel_length]
+        if f0.size == 0:
+            return np.zeros((mel_length,), dtype=np.float32)
+        return np.pad(f0, (0, mel_length - f0.size), mode="edge")
+
+    def _build_training_example(
+        self, waveform, sr, f0, cache_key=None, allow_cache=True, f0_frame_aligned=False
+    ):
         if waveform.ndim > 1:
             waveform = np.mean(waveform, axis=-1)
         waveform = waveform.astype(np.float32)
@@ -663,7 +706,7 @@ class MelDataset:
             sr = self.sr
 
         if self.return_wave:
-            return self._build_wave_example(waveform, f0)
+            return self._build_wave_example(waveform, f0, f0_frame_aligned)
 
         expected_metadata = None
         mel = None
@@ -683,7 +726,7 @@ class MelDataset:
         if f0 is None:
             f0 = np.zeros((mel_length,), dtype=np.float32)
         else:
-            f0 = self.f0_extractor.align_length(f0, mel_length)
+            f0 = self._align_f0_to_frames(f0, mel_length, f0_frame_aligned)
 
         is_silence = np.zeros_like(f0, dtype=np.float32)
         is_silence[f0 == 0] = 1.0
@@ -701,7 +744,7 @@ class MelDataset:
 
         return mel, f0.astype(np.float32), is_silence
 
-    def _build_wave_example(self, waveform: np.ndarray, f0):
+    def _build_wave_example(self, waveform: np.ndarray, f0, f0_frame_aligned: bool = False):
         """On-device front-end mode: (wave crop (T-1)·hop samples, f0 (T,),
         silence (T,)) with T = max_mel_length.  The mel + log-norm for the
         crop run inside the jitted training step (dsp.mel_spectrogram_gemm),
@@ -713,7 +756,7 @@ class MelDataset:
         if f0 is None:
             f0 = np.zeros((mel_length,), dtype=np.float32)
         else:
-            f0 = self.f0_extractor.align_length(f0, mel_length)
+            f0 = self._align_f0_to_frames(f0, mel_length, f0_frame_aligned)
         is_silence = np.zeros_like(f0, dtype=np.float32)
         is_silence[f0 == 0] = 1.0
 

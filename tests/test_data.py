@@ -94,11 +94,36 @@ def test_f0_cache_hit_is_used_and_sliced(tmp_path):
     cached = ds._load_cached_f0(paths[0])
     np.testing.assert_array_equal(cached, contour)
     # sliced load for a segment
-    sliced = ds._load_or_compute_f0(
+    sliced, aligned = ds._load_or_compute_f0(
         paths[0], full_audio[:24000], SR, start_sample=6000, expected_frames=80
     )
+    assert aligned is True
     assert sliced.shape[0] <= 84
     np.testing.assert_array_equal(sliced, contour[20 : 20 + sliced.shape[0]])
+    # non-hop-multiple start rounds to the NEAREST cache frame (6150/300 ->
+    # 20.5 -> 20 or 21; round-half-even gives 20), never floor-by-default
+    sliced2, _ = ds._load_or_compute_f0(
+        paths[0], full_audio[:24000], SR, start_sample=6200, expected_frames=80
+    )
+    np.testing.assert_array_equal(sliced2, contour[21 : 21 + sliced2.shape[0]])
+
+
+def test_partial_read_labels_not_time_warped(tmp_path):
+    """Regression: cached-contour slices must be trimmed to the segment's
+    frame count, not linearly rescaled.  The reference rescales a slice cut
+    with a +4-frame margin (meldataset.py:532-537 + 656), which time-warps
+    labels by up to ~6 frames across a training segment; with a linear-ramp
+    contour the warp shows up as non-unit steps."""
+    paths = _make_wavs(tmp_path, n=1, seconds=3.0)
+    ramp = (100.0 + np.arange(1 + int(SR * 3.0) // 300)).astype(np.float32)
+    for return_wave in (False, True):
+        ds = MelDataset(_lines(paths), verbose=False, return_wave=return_wave, seed=123)
+        ds._save_f0_cache(paths[0], ramp, "jax_ac")
+        for _ in range(3):
+            _, f0, _ = ds[0]
+            steps = np.diff(f0[f0 > 0])
+            # consecutive cache frames -> exactly unit steps, no warp
+            np.testing.assert_allclose(steps, 1.0, atol=1e-4)
 
 
 def test_stale_cache_metadata_invalidated(tmp_path):
