@@ -11,9 +11,14 @@ Stitching semantics: the reference concatenates ``f0_chunk[:end-start]`` for
 ``start in range(0, T, 144)`` — for T > 192 successive chunks *overlap* by 48
 frames, so its output is longer than T and drifts out of frame alignment
 after the first chunk (a latent quirk of the notebook implementation).  The
-default here keeps the first ``step`` frames of each chunk (output length ==
-T, every frame aligned); ``legacy_concat=True`` reproduces the reference
-byte-for-byte for parity evaluations.
+default here center-splits each overlap: chunk *i*>0 contributes frames
+``[overlap/2, step + overlap/2)`` (output length == T, every frame aligned),
+so every kept frame has at least ``overlap/2`` frames of context on its weak
+side — keep-FIRST-stride stitching gave each interior chunk's leading frames
+zero left context, a measured 1.3-1.6x error inflation at chunk heads on
+fast vibrato (results/round2/vibrato_diag_f100.csv, chunk_head_err column).
+``legacy_concat=True`` reproduces the reference byte-for-byte for parity
+evaluations.
 """
 
 from __future__ import annotations
@@ -275,10 +280,20 @@ class F0Predictor:
                 end = min(start + self.chunk_size, total_frames)
                 preds.append(chunks[i][: end - start])
             return np.concatenate(preds) if preds else np.zeros((0,), np.float32)
+        # Center-split stitching: consecutive chunks overlap by ``overlap``
+        # frames; hand the first half of each overlap to the earlier chunk
+        # (which has full left context there) and the second half to the
+        # later one.  Kept ranges tile [0, total_frames) exactly.
+        half = self.overlap // 2
         out = np.zeros((total_frames,), dtype=np.float32)
-        for i, start in enumerate(range(0, total_frames, step)):
-            end = min(start + step, total_frames)
-            out[start:end] = chunks[i][: end - start]
+        starts = list(range(0, total_frames, step))
+        for i, start in enumerate(starts):
+            lo = 0 if i == 0 else half
+            hi = self.chunk_size if i == len(starts) - 1 else step + half
+            end = min(start + hi, total_frames)
+            if start + lo >= end:
+                continue
+            out[start + lo : end] = chunks[i][lo : end - start]
         return out
 
 

@@ -41,7 +41,9 @@ def test_short_audio_single_chunk(predictor):
 
 def test_stitched_equals_reference_loop(predictor):
     """The default stitching must agree with a host-side per-chunk model loop
-    on the non-overlapping frames (each chunk's first `step`)."""
+    on each chunk's kept range (center-split overlaps: chunk 0 keeps
+    [0, step + overlap/2), later chunks keep [overlap/2, step + overlap/2),
+    the last through the end)."""
     audio = _audio(3.0)
     f0 = predictor.predict_f0(audio)
 
@@ -50,19 +52,24 @@ def test_stitched_equals_reference_loop(predictor):
 
     mel = mel_spectrogram_np(audio, SR, 1024, 1024, 300, 80)
     mel = ((np.log(MEL_LOG_OFFSET + mel) + 4.0) / 4.0).astype(np.float32)
-    T = mel.shape[1]
-    step = 144
-    for start in [0, step]:
-        end = min(start + 192, T)
+    T = mel.shape[1]  # 241
+    step, chunk_size, half = 144, 192, 24
+    starts = list(range(0, T, step))
+    for i, start in enumerate(starts):
+        end = min(start + chunk_size, T)
         chunk = mel[:, start:end]
-        pad = 192 - chunk.shape[1]
+        pad = chunk_size - chunk.shape[1]
         if pad > 0:
             chunk = np.pad(chunk, ((0, 0), (0, pad)))
         x = jnp.asarray(chunk.T[None, :, :, None])
         ref_f0, _ = predictor.model.apply(predictor.variables, x, train=False)
         ref_f0 = np.asarray(ref_f0)[0, :, 0]
-        keep = min(step, T - start)
-        np.testing.assert_allclose(f0[start : start + keep], ref_f0[:keep], atol=2e-3)
+        lo = 0 if i == 0 else half
+        hi = chunk_size if i == len(starts) - 1 else step + half
+        keep_end = min(start + hi, T)
+        np.testing.assert_allclose(
+            f0[start + lo : keep_end], ref_f0[lo : keep_end - start], atol=2e-3
+        )
 
 
 def test_legacy_concat_matches_reference_semantics(predictor):
