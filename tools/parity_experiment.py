@@ -48,6 +48,20 @@ LR = 3e-4  # reference Configs/config.yml:28
 # identical model config on both sides; 2 BiLSTM layers keep the torch-CPU
 # run tractable in this 1-core image (4-layer default: ~14 s/step)
 SEQ_CFG = {"model_type": "bilstm", "num_layers": 2, "dropout": 0.1}
+# Phase 3 ("converged parity"): phases 1-2 pass the delta gate but end with
+# both models near absolute RPA 0 — the pitch head is still far from
+# converged after 1000 full-size CPU steps, so the gate compares two
+# early-training models.  Phase 3 is an independent run under the same
+# replayed-batch protocol, sized so BOTH stacks reach meaningful absolute
+# RPA on this 1-core host: narrower F0 range, a hidden-128 single-layer
+# head, no dropout, and a higher OneCycle peak.
+SEQ_CFG3 = {"model_type": "bilstm", "hidden_size": 128, "num_layers": 1, "dropout": 0.0}
+BATCH3 = 16
+EPOCHS3 = 133  # x6 steps/epoch = 798 steps
+N_TRAIN3 = 96
+N_VAL3 = 32
+LR3 = 1e-3
+F0_RANGE3 = (110.0, 320.0)
 MEL_PARAMS = {
     "sample_rate": SR,
     "n_fft": 1024,
@@ -66,7 +80,7 @@ def _force_cpu_jax():
 
 
 # --------------------------------------------------------------------- corpus
-def _synth_utterance(rng: np.random.Generator, duration_s: float):
+def _synth_utterance(rng: np.random.Generator, duration_s: float, f0_range=(110.0, 450.0)):
     """Harmonic utterance with silence head/tail and exact analytic F0.
 
     Returns (waveform float32, full-file frame contour float32 at HOP)."""
@@ -81,7 +95,7 @@ def _synth_utterance(rng: np.random.Generator, duration_s: float):
     n_nodes = int(rng.integers(2, 5))
     node_t = np.sort(rng.uniform(0, duration_s, n_nodes))
     node_t[0], node_t[-1] = 0.0, duration_s
-    node_f = np.exp(rng.uniform(np.log(110.0), np.log(450.0), n_nodes))
+    node_f = np.exp(rng.uniform(np.log(f0_range[0]), np.log(f0_range[1]), n_nodes))
     f0 = np.interp(t, node_t, node_f)
     if rng.random() < 0.5:
         rate = rng.uniform(4.0, 7.0)
@@ -115,26 +129,35 @@ def stage_gen(root: str, seed: int = 7, phase: int = 1) -> None:
     Phase 2 (extension; the 500-step phase-1 runs end with both models still
     at RPA~0 — too undertrained for an accuracy comparison): dump epochs
     50-99 from the same corpus with a reseeded crop stream.  Both trainers
-    then replay these identical batches as a phase-2 fine-tune segment."""
+    then replay these identical batches as a phase-2 fine-tune segment.
+
+    Phase 3 (converged parity): an independent small-model run — fresh
+    narrow-band corpus (train3_*/val3_*, F0_RANGE3), its own batch stream
+    (batches3/) and meta3.json carrying SEQ_CFG3/LR3 — sized so both stacks
+    reach meaningful absolute RPA, which phases 1-2 never do."""
     _force_cpu_jax()
     from pitchextractor_tpu.data import build_dataloader
     from pitchextractor_tpu.io import write_wav
 
     os.makedirs(root, exist_ok=True)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed if phase < 3 else seed + 3000)
     lists = {"train": [], "val": []}
-    if phase == 1:
-        for split, count in (("train", N_TRAIN), ("val", N_VAL)):
+    prefix3 = "" if phase < 3 else "3"
+    if phase == 1 or phase == 3:
+        counts = (N_TRAIN, N_VAL) if phase == 1 else (N_TRAIN3, N_VAL3)
+        f0_range = (110.0, 450.0) if phase == 1 else F0_RANGE3
+        dur = (2.4, 3.2) if phase == 1 else (2.0, 2.6)
+        for split, count in zip(("train", "val"), counts):
             for i in range(count):
-                path = os.path.join(root, f"{split}_{i:03d}.wav")
-                wav, contour = _synth_utterance(rng, rng.uniform(2.4, 3.2))
+                path = os.path.join(root, f"{split}{prefix3}_{i:03d}.wav")
+                wav, contour = _synth_utterance(rng, rng.uniform(*dur), f0_range)
                 write_wav(path, wav, SR)
                 # legacy-format cache: loaded verbatim by both pipelines, so
                 # the "labels" are analytic truth and identical by construction
                 np.save(path + "_f0.npy", contour)
                 lists[split].append(path)
         for split in lists:
-            with open(os.path.join(root, f"{split}_list.txt"), "w") as fh:
+            with open(os.path.join(root, f"{split}{prefix3}_list.txt"), "w") as fh:
                 fh.writelines(p + "|x\n" for p in lists[split])
     else:
         lists["train"] = [
@@ -148,20 +171,25 @@ def stage_gen(root: str, seed: int = 7, phase: int = 1) -> None:
         "mel_params": MEL_PARAMS,
         "f0_params": {},
         "verbose": False,
-        "seed": seed if phase == 1 else seed + 1000,
+        "seed": {1: seed, 2: seed + 1000, 3: seed + 2000}[phase],
     }
+    batch = BATCH if phase < 3 else BATCH3
     loader = build_dataloader(
         [p + "|x" for p in lists["train"]],
         validation=False,
-        batch_size=BATCH,
+        batch_size=batch,
         num_workers=1,
         dataset_config=dataset_config,
     )
-    batch_dir = os.path.join(root, "batches")
+    batch_dir = os.path.join(root, "batches" + prefix3)
     os.makedirs(batch_dir, exist_ok=True)
     t0 = time.time()
     n_steps = 0
-    epoch_range = range(EPOCHS) if phase == 1 else range(EPOCHS, 2 * EPOCHS)
+    epoch_range = {
+        1: range(EPOCHS),
+        2: range(EPOCHS, 2 * EPOCHS),
+        3: range(EPOCHS3),
+    }[phase]
     for epoch in epoch_range:
         for step, (mels, f0s, sils) in enumerate(loader):
             np.savez(
@@ -196,16 +224,32 @@ def stage_gen(root: str, seed: int = 7, phase: int = 1) -> None:
             "lr": LR,
             "seed": seed,
         }
-    else:
+    elif phase == 2:
         meta = json.load(open(os.path.join(root, "meta.json")))
         meta["steps2"] = n_steps
         meta["lr2"] = LR / 2  # phase-2 fine-tune OneCycle peak
-    with open(os.path.join(root, "meta.json"), "w") as fh:
+    else:
+        meta = {
+            "epochs": EPOCHS3,
+            "batch": BATCH3,
+            "steps": n_steps,
+            "steps_per_epoch": n_steps // EPOCHS3,
+            "seq_cfg": SEQ_CFG3,
+            "lr": LR3,
+            "seed": seed + 3000,
+        }
+    meta_name = "meta.json" if phase < 3 else "meta3.json"
+    with open(os.path.join(root, meta_name), "w") as fh:
         json.dump(meta, fh, indent=2)
     print(f"gen phase {phase} done: {n_steps} steps dumped in {time.time() - t0:.0f}s")
 
 
 def _batch_files(root: str, phase: int = 1):
+    if phase == 3:
+        meta = json.load(open(os.path.join(root, "meta3.json")))
+        files = sorted(glob.glob(os.path.join(root, "batches3", "ep*.npz")))
+        assert len(files) == meta["steps"], (len(files), meta["steps"])
+        return meta, files
     meta = json.load(open(os.path.join(root, "meta.json")))
     files = sorted(glob.glob(os.path.join(root, "batches", "ep*.npz")))
     phase1 = [f for f in files if int(os.path.basename(f)[2:5]) < meta["epochs"]]
@@ -229,8 +273,8 @@ def stage_train_torch(root: str, out: str, phase: int = 1) -> None:
     torch.manual_seed(0)
     meta, files = _batch_files(root, phase)
     os.makedirs(out, exist_ok=True)
-    suffix = "" if phase == 1 else "2"
-    lr = meta["lr"] if phase == 1 else meta["lr2"]
+    suffix = {1: "", 2: "2", 3: "3"}[phase]
+    lr = meta["lr2"] if phase == 2 else meta["lr"]
 
     net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
     if phase == 2:
@@ -311,8 +355,8 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu", phase: int = 1) 
 
     meta, files = _batch_files(root, phase)
     os.makedirs(out, exist_ok=True)
-    suffix = "" if phase == 1 else "2"
-    lr = meta["lr"] if phase == 1 else meta["lr2"]
+    suffix = {1: "", 2: "2", 3: "3"}[phase]
+    lr = meta["lr2"] if phase == 2 else meta["lr"]
 
     model = JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
     tx, schedule = build_optimizer(
@@ -372,26 +416,34 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu", phase: int = 1) 
 # --------------------------------------------------------------------- eval
 def _torch_predict_f0(net, audio: np.ndarray, melspec) -> np.ndarray:
     """Chunked inference for the torch model, frame-identical to
-    F0Predictor's stitching (192-frame chunks, stride 144, keep the first
-    stride frames of each chunk)."""
+    F0Predictor's stitching (192-frame chunks, stride 144, center-split
+    overlaps: chunk i>0 contributes frames [24, 168) — must stay in
+    lock-step with infer/predict.py so the parity eval compares models,
+    not stitchers)."""
     import torch
 
     mel = melspec(audio)  # (M, T); __call__ takes a 1-D waveform
     mel = (np.log(1e-5 + mel) + 4.0) / 4.0
     total = 1 + len(audio) // HOP
     step = T_FRAMES - 48
+    half = 24
     out = np.zeros((total,), dtype=np.float32)
     net.eval()
+    starts = list(range(0, total, step))
     with torch.no_grad():
-        for start in range(0, total, step):
+        for i, start in enumerate(starts):
             chunk = mel[:, start : start + T_FRAMES]
             if chunk.shape[1] < T_FRAMES:
                 chunk = np.pad(chunk, ((0, 0), (0, T_FRAMES - chunk.shape[1])))
             x = torch.from_numpy(chunk.astype(np.float32))[None, None]  # (1,1,M,T)
             f0_pred, _ = net(x.transpose(-1, -2))
             pred = f0_pred.squeeze(0).squeeze(-1).numpy()
-            end = min(start + step, total)
-            out[start:end] = pred[: end - start]
+            lo = 0 if i == 0 else half
+            hi = T_FRAMES if i == len(starts) - 1 else step + half
+            end = min(start + hi, total)
+            if start + lo >= end:
+                continue
+            out[start + lo : end] = pred[lo : end - start]
     return out
 
 
@@ -416,8 +468,9 @@ def stage_evaluate(
     from pitchextractor_tpu.infer import F0Predictor, load_model
     from pitchextractor_tpu.io import read_audio
 
-    meta = json.load(open(os.path.join(root, "meta.json")))
-    suffix = "" if phase == 1 else "2"
+    meta_name = "meta.json" if phase < 3 else "meta3.json"
+    meta = json.load(open(os.path.join(root, meta_name)))
+    suffix = {1: "", 2: "2", 3: "3"}[phase]
 
     net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
     net.load_state_dict(
@@ -436,7 +489,7 @@ def stage_evaluate(
 
     val_paths = [
         line.split("|")[0]
-        for line in open(os.path.join(root, "val_list.txt")).read().splitlines()
+        for line in open(os.path.join(root, "val_list.txt" if phase < 3 else "val3_list.txt")).read().splitlines()
         if line
     ]
     per_model = {"torch": [], "jax": []}
@@ -492,7 +545,7 @@ def main():
     for name in ("gen", "train-torch", "train-jax", "evaluate"):
         p = sub.add_parser(name)
         p.add_argument("--root", required=True)
-        p.add_argument("--phase", type=int, default=1, choices=(1, 2))
+        p.add_argument("--phase", type=int, default=1, choices=(1, 2, 3))
         if name == "train-torch":
             p.add_argument("--out", required=True)
         if name == "train-jax":
