@@ -56,8 +56,9 @@ SEQ_CFG = {"model_type": "bilstm", "num_layers": 2, "dropout": 0.1}
 # RPA on this 1-core host: narrower F0 range, a hidden-128 single-layer
 # head, no dropout, and a higher OneCycle peak.
 SEQ_CFG3 = {"model_type": "bilstm", "hidden_size": 128, "num_layers": 1, "dropout": 0.0}
-BATCH3 = 16
-EPOCHS3 = 133  # x6 steps/epoch = 798 steps
+BATCH3 = 8  # with T3=96: ~4x cheaper torch-CPU steps than the phase-1/2 shape
+T_FRAMES3 = 96  # both JDCNets are T-agnostic (ref model.py:93 derives seq_len)
+EPOCHS3 = 66  # x12 steps/epoch = 792 steps
 N_TRAIN3 = 96
 N_VAL3 = 32
 LR3 = 1e-3
@@ -192,6 +193,8 @@ def stage_gen(root: str, seed: int = 7, phase: int = 1) -> None:
     }[phase]
     for epoch in epoch_range:
         for step, (mels, f0s, sils) in enumerate(loader):
+            if phase == 3:  # cheaper replayed steps: truncate segments to T3
+                mels, f0s, sils = mels[..., :T_FRAMES3], f0s[:, :T_FRAMES3], sils[:, :T_FRAMES3]
             np.savez(
                 os.path.join(batch_dir, f"ep{epoch:03d}_s{step:02d}.npz"),
                 mels=mels.astype(np.float32),
@@ -378,7 +381,7 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu", phase: int = 1) 
         use_mixed_precision=False,  # match the torch-CPU run (fp32)
         mesh=make_mesh(model_parallel=1),
         n_mels=N_MELS,
-        max_mel_length=T_FRAMES,
+        max_mel_length=T_FRAMES if phase < 3 else T_FRAMES3,
     )
     # resumable like the torch stage: full state (params+opt+steps) saved
     # every 50 steps so the run survives kills/timeouts
@@ -414,32 +417,33 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu", phase: int = 1) 
 
 
 # --------------------------------------------------------------------- eval
-def _torch_predict_f0(net, audio: np.ndarray, melspec) -> np.ndarray:
+def _torch_predict_f0(
+    net, audio: np.ndarray, melspec, chunk_size: int = T_FRAMES, overlap: int = 48
+) -> np.ndarray:
     """Chunked inference for the torch model, frame-identical to
-    F0Predictor's stitching (192-frame chunks, stride 144, center-split
-    overlaps: chunk i>0 contributes frames [24, 168) — must stay in
-    lock-step with infer/predict.py so the parity eval compares models,
-    not stitchers)."""
+    F0Predictor's stitching (center-split overlaps: chunk i>0 contributes
+    frames [overlap/2, stride + overlap/2) — must stay in lock-step with
+    infer/predict.py so the parity eval compares models, not stitchers)."""
     import torch
 
     mel = melspec(audio)  # (M, T); __call__ takes a 1-D waveform
     mel = (np.log(1e-5 + mel) + 4.0) / 4.0
     total = 1 + len(audio) // HOP
-    step = T_FRAMES - 48
-    half = 24
+    step = chunk_size - overlap
+    half = overlap // 2
     out = np.zeros((total,), dtype=np.float32)
     net.eval()
     starts = list(range(0, total, step))
     with torch.no_grad():
         for i, start in enumerate(starts):
-            chunk = mel[:, start : start + T_FRAMES]
-            if chunk.shape[1] < T_FRAMES:
-                chunk = np.pad(chunk, ((0, 0), (0, T_FRAMES - chunk.shape[1])))
+            chunk = mel[:, start : start + chunk_size]
+            if chunk.shape[1] < chunk_size:
+                chunk = np.pad(chunk, ((0, 0), (0, chunk_size - chunk.shape[1])))
             x = torch.from_numpy(chunk.astype(np.float32))[None, None]  # (1,1,M,T)
             f0_pred, _ = net(x.transpose(-1, -2))
             pred = f0_pred.squeeze(0).squeeze(-1).numpy()
             lo = 0 if i == 0 else half
-            hi = T_FRAMES if i == len(starts) - 1 else step + half
+            hi = chunk_size if i == len(starts) - 1 else step + half
             end = min(start + hi, total)
             if start + lo >= end:
                 continue
@@ -484,8 +488,14 @@ def stage_evaluate(
         n_mels=N_MELS,
     )
 
+    # phase 3 trains on T=96 segments; evaluate with matching 96-frame
+    # chunks on both sides (both models are T-agnostic, but inference should
+    # match the trained context length)
+    chunk_size = T_FRAMES if phase < 3 else T_FRAMES3
     model, variables = load_model(os.path.join(jax_run, f"model{suffix}.ckpt"))
-    predictor = F0Predictor(model, variables, mel_params=MEL_PARAMS)
+    predictor = F0Predictor(
+        model, variables, mel_params=MEL_PARAMS, chunk_size=chunk_size
+    )
 
     val_paths = [
         line.split("|")[0]
@@ -498,7 +508,7 @@ def stage_evaluate(
         audio = np.asarray(audio, dtype=np.float32)
         truth = np.load(path + "_f0.npy")
         preds = {
-            "torch": _torch_predict_f0(net, audio, melspec),
+            "torch": _torch_predict_f0(net, audio, melspec, chunk_size=chunk_size),
             "jax": predictor.predict_f0(audio),
         }
         for name, pred in preds.items():
