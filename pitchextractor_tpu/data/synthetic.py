@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -42,12 +42,79 @@ def _db_to_amplitude(db_value: float) -> float:
     return float(10.0 ** (db_value / 20.0))
 
 
+def _as_pair(value, name: str, scalar_ok: bool = False) -> Tuple[float, float]:
+    """Coerce a config value into a sorted (lo, hi) float pair."""
+    if scalar_ok and isinstance(value, (int, float)):
+        v = float(value)
+        return (v, v)
+    vals = [float(v) for v in value]
+    if len(vals) != 2:
+        raise ValueError(f"{name}: expected [lo, hi], got {value!r}")
+    return (min(vals), max(vals))
+
+
 @dataclass
 class ModulationConfig:
     vibrato_probability: float = 0.6
     vibrato_semitones: float = 0.35
     vibrato_rate_range: Tuple[float, float] = (4.0, 7.0)
     max_segments: int = 4
+
+
+@dataclass(frozen=True)
+class SynthesisParams:
+    """Parsed ``synthetic_data.world_vocoder`` section (schema contract with
+    Configs/config.yml:169-180; the reference consumes the same keys via
+    inline ``.get()`` chains, Utils/synthetic.py:89-119)."""
+
+    duration_s: Tuple[float, float] = (0.5, 1.8)
+    pitch_hz: Tuple[float, float] = (110.0, 320.0)
+    pitch_log_uniform: bool = False
+    gain_db: Tuple[float, float] = (-18.0, -6.0)
+    noise_db: Optional[float] = -60.0
+    tone_probability: float = 0.0
+    tone_partials_max: int = 4
+
+    @classmethod
+    def from_config(cls, cfg: Dict) -> "SynthesisParams":
+        dur = cfg.get("duration") or {}
+        duration_s = (float(dur.get("min", 0.5)), float(dur.get("max", 1.8)))
+        if duration_s[1] <= 0:
+            raise ValueError("Synthetic duration must be positive")
+        noise = cfg.get("noise_db", -60.0)
+        return cls(
+            duration_s=duration_s,
+            pitch_hz=_as_pair(cfg.get("pitch_range", (110.0, 320.0)), "pitch_range"),
+            # log-uniform pitch sampling (off by default: the reference samples
+            # uniform in Hz, Utils/synthetic.py:157; labeler self-training turns
+            # this on so every octave gets equal coverage)
+            pitch_log_uniform=bool(cfg.get("pitch_log_uniform", False)),
+            gain_db=_as_pair(
+                cfg.get("gain_db_range", (-18.0, -6.0)), "gain_db_range", scalar_ok=True
+            ),
+            noise_db=None if noise is None else float(noise),
+            tone_probability=float(cfg.get("tone_probability", 0.0)),
+            tone_partials_max=max(1, int(cfg.get("tone_partials_max", 4))),
+        )
+
+
+def _formant_envelope(freqs: np.ndarray, formants: Sequence) -> Optional[np.ndarray]:
+    """Spectral envelope for one vowel: a sum of Gaussian resonance bumps
+    (centre Hz, bandwidth Hz, relative amplitude), broadcast over
+    (n_formants, n_bins) in one shot.  Returns None when no usable formant
+    rows exist so the caller can drop the profile."""
+    rows = [
+        (float(f[0]), float(f[1]) if float(f[1]) > 0 else 60.0,
+         float(f[2]) if len(f) > 2 else 1.0)
+        for f in formants
+        if len(f) >= 2
+    ]
+    if not rows:
+        return None
+    centers, widths, amps = np.asarray(rows, dtype=np.float64).T
+    z = (freqs[None, :] - centers[:, None]) / (0.5 * widths[:, None])
+    env = (amps[:, None] * np.exp(-0.5 * z * z)).sum(axis=0)
+    return np.maximum(env, 1e-3)
 
 
 class HarmonicSynthesizer:
@@ -72,40 +139,11 @@ class HarmonicSynthesizer:
         self.fft_size = int(fft_size or 1024)
         self.verbose = verbose
         self.rng = rng or np.random.default_rng()
+        self.frame_period = 1000.0 * self.hop_length / self.sample_rate
 
         cfg = dict(config or {})
-        duration_cfg = cfg.get("duration", {}) or {}
-        self.min_duration = float(duration_cfg.get("min", 0.5))
-        self.max_duration = float(duration_cfg.get("max", 1.8))
-        if self.max_duration <= 0:
-            raise ValueError("Synthetic duration must be positive")
-
-        pitch_range = cfg.get("pitch_range", [110.0, 320.0])
-        if len(pitch_range) != 2:
-            raise ValueError("pitch_range must contain two values")
-        self.pitch_min = float(min(pitch_range))
-        self.pitch_max = float(max(pitch_range))
-        # log-uniform pitch sampling (off by default: the reference samples
-        # uniform in Hz, Utils/synthetic.py:157; labeler self-training turns
-        # this on so every octave gets equal coverage)
-        self.pitch_log_uniform = bool(cfg.get("pitch_log_uniform", False))
-
-        noise_db_cfg = cfg.get("noise_db", -60.0)
-        self.noise_db = None if noise_db_cfg is None else float(noise_db_cfg)
-        gain_cfg = cfg.get("gain_db_range", [-18.0, -6.0])
-        if isinstance(gain_cfg, (int, float)):
-            gain_cfg = [gain_cfg, gain_cfg]
-        if len(gain_cfg) != 2:
-            raise ValueError("gain_db_range must provide two values")
-        gain_min, gain_max = float(gain_cfg[0]), float(gain_cfg[1])
-        if gain_min > gain_max:
-            gain_min, gain_max = gain_max, gain_min
-        self.gain_db_range = (gain_min, gain_max)
-        self.modulation = ModulationConfig(**(cfg.get("modulation", {}) or {}))
-
-        vowel_profiles = cfg.get("vowel_profiles") or DEFAULT_VOWELS
-        self._templates = self._build_formant_templates(vowel_profiles)
-        self.frame_period = 1000.0 * self.hop_length / self.sample_rate
+        self.params = SynthesisParams.from_config(cfg)
+        self.modulation = ModulationConfig(**(cfg.get("modulation") or {}))
 
         # Pure-tone / sparse-partial stimuli (round-2 domain-gap fix): the
         # eval suites drive single-partial sines and few-partial timbres
@@ -113,49 +151,31 @@ class HarmonicSynthesizer:
         # partial sets), which are spectrally unlike the formant vowels; with
         # probability ``tone_probability`` a sample is synthesised from a
         # sparse partial set (1 = pure sine) instead of a vowel envelope.
-        self.tone_probability = float(cfg.get("tone_probability", 0.0))
-        self.tone_partials_max = max(1, int(cfg.get("tone_partials_max", 4)))
+        self.tone_probability = self.params.tone_probability
+        self.tone_partials_max = self.params.tone_partials_max
 
-    # ------------------------------------------------------------------
-    def _build_formant_templates(self, profiles: Sequence[Dict]) -> List[np.ndarray]:
-        """Gaussian-bump spectral envelopes on the FFT frequency axis
-        (reference Utils/synthetic.py:122-147)."""
-        freq_axis = np.linspace(0, self.sample_rate / 2, self.fft_size // 2 + 1)
-        templates: List[np.ndarray] = []
-        for profile in profiles:
-            formants = profile.get("formants", [])
-            if not formants:
-                continue
-            envelope = np.zeros_like(freq_axis)
-            for formant in formants:
-                if len(formant) < 2:
-                    continue
-                freq = float(formant[0])
-                bandwidth = float(formant[1])
-                amplitude = float(formant[2]) if len(formant) > 2 else 1.0
-                if bandwidth <= 0:
-                    bandwidth = 60.0
-                envelope += amplitude * np.exp(
-                    -0.5 * ((freq_axis - freq) / (bandwidth / 2.0)) ** 2
-                )
-            envelope = np.maximum(envelope, 1e-3)
-            templates.append(envelope.astype(np.float64))
-        if not templates:
-            raise ValueError("No valid vowel templates provided for synthesis")
-        return templates
+        freqs = np.linspace(0.0, self.sample_rate / 2.0, self.fft_size // 2 + 1)
+        profiles = cfg.get("vowel_profiles") or DEFAULT_VOWELS
+        self._templates = [
+            env
+            for profile in profiles
+            if (env := _formant_envelope(freqs, profile.get("formants", ()))) is not None
+        ]
+        if not self._templates:
+            raise ValueError("vowel_profiles yielded no usable formant envelopes")
 
     # ------------------------------------------------------------------
     def _sample_duration(self) -> float:
-        if self.max_duration <= self.min_duration:
-            return max(self.max_duration, 0.1)
-        return float(self.rng.uniform(self.min_duration, self.max_duration))
+        lo, hi = self.params.duration_s
+        if hi <= lo:
+            return max(hi, 0.1)
+        return float(self.rng.uniform(lo, hi))
 
     def _sample_pitch(self) -> float:
-        if self.pitch_log_uniform:
-            return float(
-                np.exp(self.rng.uniform(np.log(self.pitch_min), np.log(self.pitch_max)))
-            )
-        return float(self.rng.uniform(self.pitch_min, self.pitch_max))
+        lo, hi = self.params.pitch_hz
+        if self.params.pitch_log_uniform:
+            return float(np.exp(self.rng.uniform(np.log(lo), np.log(hi))))
+        return float(self.rng.uniform(lo, hi))
 
     def _sample_f0_curve(self, num_frames: int) -> np.ndarray:
         """Random piecewise-linear contour with probabilistic semitone
@@ -252,10 +272,10 @@ class HarmonicSynthesizer:
             template = self._templates[int(self.rng.integers(len(self._templates)))]
             waveform = self._synthesize(f0_curve, template)
 
-        gain = _db_to_amplitude(float(self.rng.uniform(*self.gain_db_range)))
+        gain = _db_to_amplitude(float(self.rng.uniform(*self.params.gain_db)))
         waveform = waveform * gain
-        if self.noise_db is not None:
-            noise_gain = _db_to_amplitude(self.noise_db)
+        if self.params.noise_db is not None:
+            noise_gain = _db_to_amplitude(self.params.noise_db)
             if noise_gain > 0:
                 waveform = waveform + self.rng.normal(scale=noise_gain, size=waveform.shape)
         return waveform.astype(np.float32), f0_curve.astype(np.float32)
