@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import glob
 import json
+import logging
 import os
 import re
 from typing import Any, Dict, Optional, Tuple
@@ -312,6 +313,23 @@ def latest_checkpoint(path: str) -> Optional[str]:
     return candidates[-1] if candidates else None
 
 
+def _shape_mismatches(template: Any, restored: Any, path: str = "") -> list:
+    """Paths whose leaf shapes differ between two nested state dicts
+    (keys missing from ``restored`` are not mismatches — tolerant_merge
+    keeps the template leaf for those)."""
+    if isinstance(template, dict):
+        out = []
+        src = restored if isinstance(restored, dict) else {}
+        for key, tval in template.items():
+            if str(key) in {str(k) for k in src}:
+                sval = src.get(key, src.get(str(key)))
+                out += _shape_mismatches(tval, sval, f"{path}/{key}")
+        return out
+    t_shape = tuple(getattr(template, "shape", np.shape(template)))
+    s_shape = tuple(getattr(restored, "shape", np.shape(restored)))
+    return [f"{path}: {s_shape} vs {t_shape}"] if s_shape != t_shape else []
+
+
 def load_model(
     checkpoint_path: str,
     config: Optional[Dict] = None,
@@ -352,6 +370,20 @@ def load_model(
     )
     dummy = jnp.zeros((1, 8, 80, 1), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), dummy, train=False)
+    mismatched = _shape_mismatches(
+        serialization.to_state_dict(template["params"]), params
+    )
+    if mismatched:
+        logging.getLogger(__name__).warning(
+            "load_model: %d parameter leaves differ in shape between the "
+            "checkpoint and the rebuilt architecture (e.g. %s) — the "
+            "tolerant merge will overlap-copy them, which usually means the "
+            "sequence_model config does not match the checkpoint. Pass "
+            "config={'model_params': ...} or use a checkpoint with a "
+            "model_params sidecar.",
+            len(mismatched),
+            ", ".join(mismatched[:3]),
+        )
     variables = {
         "params": serialization.from_state_dict(
             template["params"],

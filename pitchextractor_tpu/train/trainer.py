@@ -368,6 +368,14 @@ class Trainer:
         training_cfg = self.config.get("training") or {}
         if async_save is None:
             async_save = bool(training_cfg.get("async_checkpoints", False))
+        # Checkpoints must be self-describing: when the trainer was built
+        # without a full config (library use, experiments), derive the model
+        # architecture from the live module so infer.load_model rebuilds the
+        # exact head instead of tolerant-merging into the default one.
+        model_params = self.config.get("model_params") or {
+            "num_class": int(self.model.num_class),
+            "sequence_model": dict(self.model.sequence_model_config or {}),
+        }
         ckpt_lib.save_checkpoint(
             checkpoint_path,
             self.state.params,
@@ -375,7 +383,7 @@ class Trainer:
             self.state.opt_state,
             steps=self.steps,
             epochs=self.epochs,
-            extra_meta={"model_params": self.config.get("model_params")},
+            extra_meta={"model_params": model_params},
             async_save=async_save,
             backend=str(training_cfg.get("checkpoint_backend", "msgpack")),
         )

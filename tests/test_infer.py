@@ -130,6 +130,44 @@ def test_load_model_roundtrip(tmp_path):
     np.testing.assert_allclose(p1, p2, atol=1e-6)
 
 
+def test_trainer_checkpoint_self_describing(tmp_path):
+    """A Trainer built WITHOUT model_params in its config must still save a
+    sidecar that lets load_model rebuild the exact (non-default) head —
+    regression for the parity phase-3 collapse, where the default hidden-384
+    rebuild tolerant-merged a hidden-128 checkpoint into garbage."""
+    from pitchextractor_tpu.parallel import make_mesh
+    from pitchextractor_tpu.train import Trainer, build_optimizer
+
+    odd_seq = {"model_type": "bilstm", "hidden_size": 48, "num_layers": 1, "dropout": 0.0}
+    model = JDCNet(num_class=1, sequence_model_config=odd_seq)
+    tx, schedule = build_optimizer(
+        {
+            "params": None,
+            "optimizer_params": {"lr": 1e-3},
+            "scheduler_params": {"max_lr": 1e-3, "epochs": 1, "steps_per_epoch": 2},
+        }
+    )
+    trainer = Trainer(
+        model=model,
+        optimizer=tx,
+        scheduler=schedule,
+        loss_config={"lambda_f0": 0.1},
+        use_mixed_precision=False,
+        mesh=make_mesh(model_parallel=1),
+        n_mels=80,
+        max_mel_length=16,
+    )
+    path = str(tmp_path / "epoch_00001.ckpt")
+    trainer.save_checkpoint(path)
+    model2, variables2 = load_model(path)
+    assert model2.sequence_model_config["hidden_size"] == 48
+    audio = _audio(0.4)
+    p1 = F0Predictor(model, {"params": trainer.state.params,
+                             "batch_stats": trainer.state.batch_stats}).predict_f0(audio)
+    p2 = F0Predictor(model2, variables2).predict_f0(audio)
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
 def test_predict_f0_batch_matches_single(predictor):
     """Batched multi-utterance inference must match per-utterance results."""
     audios = [_audio(0.8), _audio(1.5), _audio(0.8)]

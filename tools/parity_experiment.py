@@ -63,6 +63,14 @@ N_TRAIN3 = 96
 N_VAL3 = 32
 LR3 = 1e-3
 F0_RANGE3 = (110.0, 320.0)
+# Phase 4: phase 3 ends with both stacks at ~45 Hz voiced MAE (locked
+# step-for-step, but RPA(50c) near 0 on both sides).  Extension: warm-start
+# from the phase-3 result and replay the SAME batches3 stream REPLAYS4 more
+# passes under a fresh half-peak OneCycle — still a bitwise-identical batch
+# stream for both stacks, enough optimizer steps for the pitch head to reach
+# gate-meaningful absolute RPA.
+REPLAYS4 = 4
+LR4 = LR3 / 2
 MEL_PARAMS = {
     "sample_rate": SR,
     "n_fft": 1024,
@@ -248,10 +256,13 @@ def stage_gen(root: str, seed: int = 7, phase: int = 1) -> None:
 
 
 def _batch_files(root: str, phase: int = 1):
-    if phase == 3:
+    if phase in (3, 4):
         meta = json.load(open(os.path.join(root, "meta3.json")))
         files = sorted(glob.glob(os.path.join(root, "batches3", "ep*.npz")))
         assert len(files) == meta["steps"], (len(files), meta["steps"])
+        if phase == 4:
+            files = files * REPLAYS4
+            meta = {**meta, "epochs": meta["epochs"] * REPLAYS4}
         return meta, files
     meta = json.load(open(os.path.join(root, "meta.json")))
     files = sorted(glob.glob(os.path.join(root, "batches", "ep*.npz")))
@@ -276,14 +287,15 @@ def stage_train_torch(root: str, out: str, phase: int = 1) -> None:
     torch.manual_seed(0)
     meta, files = _batch_files(root, phase)
     os.makedirs(out, exist_ok=True)
-    suffix = {1: "", 2: "2", 3: "3"}[phase]
-    lr = meta["lr2"] if phase == 2 else meta["lr"]
+    suffix = {1: "", 2: "2", 3: "3", 4: "4"}[phase]
+    lr = {2: meta["lr2"], 4: LR4}.get(phase, meta["lr"])
 
     net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
-    if phase == 2:
-        # warm start from the phase-1 result; fresh OneCycle segment
+    if phase in (2, 4):
+        # warm start from the previous phase's result; fresh OneCycle segment
+        warm = "model.pth" if phase == 2 else "model3.pth"
         net.load_state_dict(
-            torch.load(os.path.join(out, "model.pth"), map_location="cpu")
+            torch.load(os.path.join(out, warm), map_location="cpu")
         )
     optimizer, scheduler = ref_optimizers.build_optimizer(
         {
@@ -358,8 +370,8 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu", phase: int = 1) 
 
     meta, files = _batch_files(root, phase)
     os.makedirs(out, exist_ok=True)
-    suffix = {1: "", 2: "2", 3: "3"}[phase]
-    lr = meta["lr2"] if phase == 2 else meta["lr"]
+    suffix = {1: "", 2: "2", 3: "3", 4: "4"}[phase]
+    lr = {2: meta["lr2"], 4: LR4}.get(phase, meta["lr"])
 
     model = JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
     tx, schedule = build_optimizer(
@@ -391,9 +403,10 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu", phase: int = 1) 
         trainer.load_checkpoint(resume_path, load_only_params=False)
         start = int(trainer.steps)
         print(f"resuming from step {start}", flush=True)
-    elif phase == 2:
-        # warm start from the phase-1 result; fresh OneCycle segment
-        trainer.load_checkpoint(os.path.join(out, "model.ckpt"), load_only_params=True)
+    elif phase in (2, 4):
+        # warm start from the previous phase's result; fresh OneCycle segment
+        warm = "model.ckpt" if phase == 2 else "model3.ckpt"
+        trainer.load_checkpoint(os.path.join(out, warm), load_only_params=True)
 
     log_path = os.path.join(out, f"train_log{suffix}.jsonl")
     t0 = time.time()
@@ -492,7 +505,12 @@ def stage_evaluate(
     # chunks on both sides (both models are T-agnostic, but inference should
     # match the trained context length)
     chunk_size = T_FRAMES if phase < 3 else T_FRAMES3
-    model, variables = load_model(os.path.join(jax_run, f"model{suffix}.ckpt"))
+    model, variables = load_model(
+        os.path.join(jax_run, f"model{suffix}.ckpt"),
+        # older checkpoints in this experiment predate self-describing
+        # sidecars; pin the architecture to the one actually trained
+        config={"model_params": {"num_class": 1, "sequence_model": meta["seq_cfg"]}},
+    )
     predictor = F0Predictor(
         model, variables, mel_params=MEL_PARAMS, chunk_size=chunk_size
     )
@@ -555,7 +573,7 @@ def main():
     for name in ("gen", "train-torch", "train-jax", "evaluate"):
         p = sub.add_parser(name)
         p.add_argument("--root", required=True)
-        p.add_argument("--phase", type=int, default=1, choices=(1, 2, 3))
+        p.add_argument("--phase", type=int, default=1, choices=(1, 2, 3, 4))
         if name == "train-torch":
             p.add_argument("--out", required=True)
         if name == "train-jax":
