@@ -288,7 +288,7 @@ def stage_train_torch(root: str, out: str, phase: int = 1) -> None:
     meta, files = _batch_files(root, phase)
     os.makedirs(out, exist_ok=True)
     suffix = {1: "", 2: "2", 3: "3", 4: "4"}[phase]
-    lr = {2: meta["lr2"], 4: LR4}.get(phase, meta["lr"])
+    lr = meta["lr2"] if phase == 2 else (LR4 if phase == 4 else meta["lr"])
 
     net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
     if phase in (2, 4):
@@ -371,7 +371,7 @@ def stage_train_jax(root: str, out: str, platform: str = "cpu", phase: int = 1) 
     meta, files = _batch_files(root, phase)
     os.makedirs(out, exist_ok=True)
     suffix = {1: "", 2: "2", 3: "3", 4: "4"}[phase]
-    lr = {2: meta["lr2"], 4: LR4}.get(phase, meta["lr"])
+    lr = meta["lr2"] if phase == 2 else (LR4 if phase == 4 else meta["lr"])
 
     model = JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
     tx, schedule = build_optimizer(
