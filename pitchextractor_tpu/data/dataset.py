@@ -283,23 +283,8 @@ class MelDataset:
         total_frames = int(metadata.get("frames", 0) or 0)
 
         hop_length = int(self.mel_params["hop_length"])
-        target_frames = int(self.max_mel_length)
-
-        segment_frames = None
-        start_frame = 0
-        use_full_file = True
-        if target_frames > 0 and source_sr and total_frames > 0:
-            base_duration = (target_frames * hop_length) / float(self.sr)
-            window_size = int(self.mel_params.get("win_length") or self.mel_params.get("n_fft", hop_length))
-            pad_duration = max(window_size, hop_length) / float(self.sr)
-            requested_duration = base_duration + pad_duration
-            segment_frames = int(np.ceil(requested_duration * float(source_sr)))
-            if segment_frames <= 0:
-                segment_frames = None
-            elif segment_frames < total_frames:
-                max_start = max(0, total_frames - segment_frames)
-                start_frame = int(self.rng.integers(0, max_start + 1)) if max_start > 0 else 0
-                use_full_file = False
+        start_frame, segment_frames = self._plan_random_segment(source_sr, total_frames)
+        use_full_file = segment_frames is None
 
         waveform, wave_sr = self._load_waveform(path, start_frame, segment_frames)
         if waveform.ndim > 1:
@@ -343,6 +328,23 @@ class MelDataset:
             allow_cache=allow_cache,
             f0_frame_aligned=f0_frame_aligned,
         )
+
+    def _plan_random_segment(self, source_sr, total_frames: int):
+        """-> (start_frame, num_frames): a random source-rate read window
+        covering ``max_mel_length`` hops plus one analysis window of padding;
+        ``num_frames=None`` means the whole file is short enough to read
+        outright (segment math per reference meldataset.py:190-201)."""
+        target_frames = int(self.max_mel_length)
+        if target_frames <= 0 or not source_sr or int(total_frames or 0) <= 0:
+            return 0, None
+        hop = int(self.mel_params["hop_length"])
+        window = int(self.mel_params.get("win_length") or self.mel_params.get("n_fft", hop))
+        need_s = (target_frames * hop + max(window, hop)) / float(self.sr)
+        num_frames = int(np.ceil(need_s * float(source_sr)))
+        if num_frames <= 0 or num_frames >= int(total_frames):
+            return 0, None
+        start = int(self.rng.integers(0, int(total_frames) - num_frames + 1))
+        return start, num_frames
 
     def _mark_path_invalid(self, path: str, exc: Exception) -> None:
         if path in self._invalid_paths:
@@ -591,18 +593,18 @@ class MelDataset:
                 f"[MelDataset] Computing F0 for {path} using backends: "
                 f"{', '.join(active) if active else 'none'}"
             )
+        f0, backend_name = np.zeros((0,), dtype=np.float32), ""
         try:
             result = self.f0_extractor.compute(waveform, sr=sr)
+        except BackendComputationError as exc:
+            logger.warning("All configured F0 backends failed for %s: %s", path, exc)
+            if self.verbose:
+                print(f"[MelDataset] F0 computation failed for {path}; using zeros")
+        else:
             f0 = np.asarray(result.f0, dtype=np.float32)
             backend_name = result.backend_name
             if self.verbose and backend_name:
                 print(f"[MelDataset] Selected F0 backend '{backend_name}' for {path}")
-        except BackendComputationError as exc:
-            logger.warning("All configured F0 backends failed for %s: %s", path, exc)
-            f0 = np.zeros((0,), dtype=np.float32)
-            backend_name = ""
-            if self.verbose:
-                print(f"[MelDataset] F0 computation failed for {path}; using zeros")
         # Freshly-computed contours use the backend's own frame grid (e.g.
         # swiftf0 runs at 16 ms frames) — NOT frame-aligned to the mel hop;
         # align_length's linear rescale is the mechanism that maps them.
@@ -619,40 +621,48 @@ class MelDataset:
             self._save_f0_cache(path, f0, backend_name)
         return f0, False
 
+    def _read_json_or_drop(self, path: str):
+        """Parse a cache-metadata JSON; unparseable files are deleted."""
+        try:
+            with open(path, "r", encoding="utf-8") as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            self._remove_file_safely(path)
+            return None
+
+    def _read_npy_or_drop(self, path: str):
+        """Load a cached .npy as float32; unreadable files are deleted."""
+        try:
+            return np.load(path).astype(np.float32)
+        except (OSError, ValueError):
+            self._remove_file_safely(path)
+            return None
+
+    def _f0_metadata_current(self, metadata) -> bool:
+        return (
+            bool(metadata)
+            and metadata.get("cache_identifier") == self.f0_extractor.cache_identifier
+            and metadata.get("sample_rate") == int(self.sr)
+            and metadata.get("hop_length") == int(self.mel_params["hop_length"])
+        )
+
     def _load_cached_f0(self, path: str):
         if not self._cache_enabled:
             return None
         data_path, meta_path, legacy_path = self._f0_cache_paths(path)
         if os.path.isfile(data_path):
-            metadata = None
-            if os.path.isfile(meta_path):
-                try:
-                    with open(meta_path, "r", encoding="utf-8") as meta_file:
-                        metadata = json.load(meta_file)
-                except (OSError, json.JSONDecodeError):
-                    self._remove_file_safely(meta_path)
-                    metadata = None
-            if metadata:
-                expected = {
-                    "cache_identifier": self.f0_extractor.cache_identifier,
-                    "sample_rate": int(self.sr),
-                    "hop_length": int(self.mel_params["hop_length"]),
-                }
-                if all(metadata.get(key) == value for key, value in expected.items()):
-                    try:
-                        return np.load(data_path).astype(np.float32)
-                    except (OSError, ValueError):
-                        self._remove_file_safely(data_path)
-                else:
-                    self._remove_file_safely(data_path)
-                    self._remove_file_safely(meta_path)
+            metadata = self._read_json_or_drop(meta_path) if os.path.isfile(meta_path) else None
+            if self._f0_metadata_current(metadata):
+                contour = self._read_npy_or_drop(data_path)
+                if contour is not None:
+                    return contour
             else:
+                # stale chain/params: drop both halves of the cache entry
                 self._remove_file_safely(data_path)
+                if metadata is not None:
+                    self._remove_file_safely(meta_path)
         if os.path.isfile(legacy_path):
-            try:
-                return np.load(legacy_path).astype(np.float32)
-            except (OSError, ValueError):
-                self._remove_file_safely(legacy_path)
+            return self._read_npy_or_drop(legacy_path)
         return None
 
     def _save_f0_cache(self, path: str, f0: np.ndarray, backend_name: str) -> None:
@@ -819,10 +829,8 @@ class MelDataset:
         if not os.path.isfile(meta_cache_path):
             self._invalidate_mel_cache(meta_cache_path, reason="missing_metadata")
             return None
-        try:
-            with open(meta_cache_path, "r", encoding="utf-8") as meta_file:
-                cached_metadata = json.load(meta_file)
-        except (OSError, json.JSONDecodeError):
+        cached_metadata = self._read_json_or_drop(meta_cache_path)
+        if cached_metadata is None:
             self._invalidate_mel_cache(meta_cache_path, reason="unreadable_metadata")
             return None
         if cached_metadata != expected_metadata:
@@ -847,16 +855,14 @@ class MelDataset:
             )
         logger.info("Mel cache invalidation triggered (%s). Clearing cached spectrograms.", reason)
         for audio_path in self.data_list:
-            mel_cache_path, meta_cache_path = self._mel_cache_paths(audio_path)
-            f0_cache_path, f0_meta_path, legacy_path = self._f0_cache_paths(audio_path)
-            for p in (mel_cache_path, meta_cache_path, f0_cache_path, f0_meta_path, legacy_path):
-                self._remove_file_safely(p)
-            for extra_path in glob.glob(audio_path + "_f0*.npy"):
-                if extra_path not in {f0_cache_path, legacy_path}:
-                    self._remove_file_safely(extra_path)
-            for extra_meta in glob.glob(audio_path + "_f0*.json"):
-                if extra_meta != f0_meta_path:
-                    self._remove_file_safely(extra_meta)
+            # every sibling cache artifact of this list entry, current-chain or
+            # not: the explicit suffixes plus any _f0<other-chain> leftovers
+            doomed = set(self._mel_cache_paths(audio_path))
+            doomed.update(self._f0_cache_paths(audio_path))
+            doomed.update(glob.glob(audio_path + "_f0*.npy"))
+            doomed.update(glob.glob(audio_path + "_f0*.json"))
+            for stale in sorted(doomed):
+                self._remove_file_safely(stale)
 
     @staticmethod
     def _remove_file_safely(path: str) -> None:
