@@ -104,11 +104,23 @@ def run(config_path: str, max_steps=None) -> int:
         mel_params=config["dataset_params"]["mel_params"],
     )
 
+    # auto-resume: if the run dir already holds epoch_*.ckpt files (a crashed
+    # or pre-empted earlier attempt of the *same* run), restore the newest one
+    # with full optimizer/step state and continue the epoch loop from there.
+    # The reference has no notion of resume (train.py restarts from scratch);
+    # long TPU runs need one.  ``pretrained_model`` still wins when set — that
+    # is a warm-start from a *different* run, not a resume.
+    from .infer import latest_checkpoint
+
+    resume_path = latest_checkpoint(log_dir)
     if config.get("pretrained_model", ""):
         trainer.load_checkpoint(
             config["pretrained_model"],
             load_only_params=config.get("load_only_params", True),
         )
+    elif resume_path is not None:
+        logger.info("auto-resuming from %s", resume_path)
+        trainer.load_checkpoint(resume_path, load_only_params=False)
 
     # cache warm-up (reference train.py:127-133).  F0 cache misses are filled
     # first by batched on-device labeling (labels/bulk.py — one tracker
@@ -135,7 +147,7 @@ def run(config_path: str, max_steps=None) -> int:
     logger.info("cache warm-up took %.1fs total", time.time() - warmup_t0)
     print("All F0 data is computed.")
 
-    for epoch in range(1, epochs + 1):
+    for epoch in range(int(trainer.epochs) + 1, epochs + 1):
         train_results = trainer._train_epoch()
         eval_results = trainer._eval_epoch()
         results = dict(train_results)

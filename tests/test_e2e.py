@@ -107,3 +107,15 @@ def test_train_cli_end_to_end(corpus, tmp_path):
     resume_path = str(root / "resume.yml")
     yaml.safe_dump(cfg, open(resume_path, "w"))
     assert run(resume_path) == 0
+
+    # auto-resume: re-running the SAME config with a raised epoch budget picks
+    # up the newest epoch_*.ckpt in log_dir and continues (no pretrained_model)
+    cfg = yaml.safe_load(open(config_path))
+    cfg["epochs"] = 3
+    yaml.safe_dump(cfg, open(config_path, "w"))
+    assert run(config_path) == 0
+    assert (log_dir / "epoch_00002.ckpt").is_file()  # untouched
+    log_text = open(log_dir / "train.log").read()
+    assert "auto-resuming" in log_text
+    meta3 = json.load(open(str(log_dir / "epoch_00002.ckpt") + ".json"))
+    assert meta3["epochs"] == 2  # old checkpoint not overwritten by epoch 3
