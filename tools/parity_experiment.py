@@ -487,7 +487,7 @@ def stage_evaluate(
 
     meta_name = "meta.json" if phase < 3 else "meta3.json"
     meta = json.load(open(os.path.join(root, meta_name)))
-    suffix = {1: "", 2: "2", 3: "3"}[phase]
+    suffix = {1: "", 2: "2", 3: "3", 4: "4"}[phase]
 
     net = ref_model.JDCNet(num_class=1, sequence_model_config=meta["seq_cfg"])
     net.load_state_dict(
