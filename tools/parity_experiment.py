@@ -69,7 +69,7 @@ F0_RANGE3 = (110.0, 320.0)
 # passes under a fresh half-peak OneCycle — still a bitwise-identical batch
 # stream for both stacks, enough optimizer steps for the pitch head to reach
 # gate-meaningful absolute RPA.
-REPLAYS4 = 4
+REPLAYS4 = 2  # 1584 steps: torch-CPU costs 3.5-12 s/step on this 1-core host
 LR4 = LR3 / 2
 MEL_PARAMS = {
     "sample_rate": SR,
