@@ -79,13 +79,17 @@ def _bench_train_step(
         metrics = trainer.run(pool[i % len(pool)])
     float(metrics["loss"])
 
+    # batches flow through the same transfer-prefetch path the training
+    # epoch loop uses: every step still pays for a fresh host batch, but the
+    # copy of batch i+1 rides along step i's compute (trainer._prefetch_placed)
     window_rates = []
     step_idx = 0
     for _ in range(windows):
+        fresh = (pool[(step_idx + k) % len(pool)] for k in range(steps))
+        step_idx += steps
         t0 = time.perf_counter()
-        for _ in range(steps):
-            metrics = trainer.run(pool[step_idx % len(pool)])
-            step_idx += 1
+        for placed, _ in trainer._prefetch_placed(fresh):
+            metrics = trainer.run(placed)
         float(metrics["loss"])  # sync on the full dependency chain
         window_rates.append(batch_size * steps / (time.perf_counter() - t0))
 

@@ -277,14 +277,40 @@ class Trainer:
             put(valid),
         )
 
+    def _prefetch_placed(self, iterable):
+        """Yield ``(placed, raw)`` pairs with the host->device copy of each
+        next batch submitted one step ahead on a worker thread, so it rides
+        along the current step's compute.  Over remote transports the copy
+        is otherwise a *serial* per-step cost (device_put blocks until the
+        bytes are on the wire), and it measures as large as the compute
+        itself at B=64 (RESULTS.md round-2 bench)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(iterable)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            try:
+                raw = next(it)
+            except StopIteration:
+                return
+            fut = pool.submit(self._put_batch, raw)
+            for nxt in it:
+                placed = fut.result()
+                fut = pool.submit(self._put_batch, nxt)
+                yield placed, raw
+                raw = nxt
+            yield fut.result(), raw
+
     def run(self, batch) -> Dict[str, Any]:
         """One optimization step (reference trainer.py:219-252).
 
-        Returns *device* scalars: fetching them eagerly would force a
-        device->host round-trip on every step (expensive over remote
-        transports); the epoch loops stack and fetch them once per epoch.
+        Accepts a raw host batch ``(mels, f0, sil)`` or an already-placed
+        4-tuple from ``_put_batch``/``_prefetch_placed``.  Returns *device*
+        scalars: fetching them eagerly would force a device->host
+        round-trip on every step (expensive over remote transports); the
+        epoch loops stack and fetch them once per epoch.
         """
-        mels, f0s, sils, _ = self._put_batch(batch)
+        placed = batch if len(batch) == 4 else self._put_batch(batch)
+        mels, f0s, sils, _ = placed
         s = self.state
         params, stats, opt_state, steps, metrics = self._train_step(
             s.params, s.batch_stats, s.opt_state, s.steps, mels, f0s, sils
@@ -327,8 +353,10 @@ class Trainer:
         train_losses = defaultdict(list)
         t0 = time.time()
         n_items = 0
-        for batch in self._progress(self.train_dataloader, "[train]"):
-            losses = self.run(batch)
+        for placed, batch in self._progress(
+            self._prefetch_placed(self.train_dataloader), "[train]"
+        ):
+            losses = self.run(placed)
             n_items += batch[0].shape[0]
             for key, value in losses.items():
                 train_losses[f"train/{key}"].append(value)
@@ -346,8 +374,10 @@ class Trainer:
         """(reference trainer.py:267-291)"""
         eval_losses = defaultdict(list)
         weights = []
-        for batch in self._progress(self.val_dataloader, "[eval]"):
-            mels, f0s, sils, valid = self._put_batch(batch)
+        for placed, batch in self._progress(
+            self._prefetch_placed(self.val_dataloader), "[eval]"
+        ):
+            mels, f0s, sils, valid = placed
             metrics = self._eval_step(
                 self.state.params, self.state.batch_stats, mels, f0s, sils, valid
             )

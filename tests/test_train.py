@@ -127,6 +127,26 @@ def test_training_reduces_loss():
     assert 0 < first["train/learning_rate"] <= 1e-3
 
 
+def test_prefetch_placed_order_and_run_accepts_placed():
+    """_prefetch_placed must yield every batch exactly once, in order, with
+    the placed 4-tuple matching _put_batch of the paired raw batch; run()
+    must accept the placed form directly."""
+    batches = _synthetic_batches(n_batches=3)
+    trainer = _tiny_trainer(batches, batches[:1])
+    pairs = list(trainer._prefetch_placed(batches))
+    assert len(pairs) == 3
+    for (placed, raw), expected in zip(pairs, batches):
+        assert raw is expected
+        assert len(placed) == 4
+        ref = trainer._put_batch(raw)
+        for got, want in zip(placed, ref):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    metrics = trainer.run(pairs[0][0])
+    assert np.isfinite(float(metrics["loss"]))
+    # empty iterable: no yields, no hang
+    assert list(trainer._prefetch_placed([])) == []
+
+
 def test_train_step_metrics_finite_with_remat_and_bf16():
     batches = _synthetic_batches(n_batches=1)
     trainer = _tiny_trainer(
