@@ -52,9 +52,15 @@ echo "crepe-medium rc=$?"
 # ---- 4. kernel/bench re-measurement + profiler trace ----
 timeout 1800 python bench.py > results/round2/bench_leg7.json 2> results/round2/bench_leg7.log
 echo "bench rc=$?"
+PEX_BENCH_TRANSFORMER=1 timeout 1800 python bench.py \
+  > results/round2/bench_leg7_tf.json 2> results/round2/bench_leg7_tf.log
+echo "bench-tf rc=$?"
 timeout 1800 python tools/bench_lstm.py --iters 30 \
   > results/round2/bench_lstm_leg7.jsonl 2>&1
 echo "bench_lstm rc=$?"
+PEX_LSTM_BF16=1 timeout 1800 python tools/bench_lstm.py --iters 30 \
+  > results/round2/bench_lstm_leg7_bf16.jsonl 2>&1
+echo "bench_lstm-bf16 rc=$?"
 timeout 1800 python tools/profile_step.py --steps 12 \
   --out results/round2/trace_leg7 > results/round2/profile_leg7.log 2>&1
 echo "profile rc=$?"
