@@ -22,11 +22,33 @@ from .utils.logging import setup_logging
 from .utils.summary import SummaryWriter
 
 
+# distinctive exit code for the voluntary restart-on-RSS path so shell
+# supervisors can distinguish it from crashes
+RSS_EXIT_CODE = 42
+
+
+def _rss_gb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def _total_ram_gb() -> float:
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    return float(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0  # unknown -> guard disabled
+
+
 @click.command()
 @click.option("-p", "--config_path", default="./Configs/config.yml", type=str)
 @click.option("--max_steps", default=None, type=int, help="debug: stop after N epochs' worth of steps")
 def main(config_path, max_steps):
-    run(config_path, max_steps=max_steps)
+    raise SystemExit(run(config_path, max_steps=max_steps))
 
 
 def run(config_path: str, max_steps=None) -> int:
@@ -147,6 +169,17 @@ def run(config_path: str, max_steps=None) -> int:
     logger.info("cache warm-up took %.1fs total", time.time() - warmup_t0)
     print("All F0 data is computed.")
 
+    # Self-preservation for long runs on leaky transports: some PJRT
+    # clients retain a host copy of every uploaded batch (measured
+    # ~7 MB/step on the axon tunnel — a 1000-epoch run was OOM-killed at
+    # 129 GB RSS).  When RSS crosses the threshold, checkpoint and exit
+    # cleanly (rc=RSS_EXIT_CODE) so a supervising loop can relaunch; the
+    # auto-resume above continues from the saved epoch.
+    max_rss_gb = training_config.get("max_rss_gb")
+    if max_rss_gb is None:
+        max_rss_gb = 0.8 * _total_ram_gb()  # default: restart before the OOM killer
+    max_rss_gb = float(max_rss_gb or 0)  # explicit 0/false disables
+
     for epoch in range(int(trainer.epochs) + 1, epochs + 1):
         train_results = trainer._train_epoch()
         eval_results = trainer._eval_epoch()
@@ -161,6 +194,22 @@ def run(config_path: str, max_steps=None) -> int:
             trainer.save_checkpoint(osp.join(log_dir, "epoch_%05d.ckpt" % epoch))
         if max_steps is not None and trainer.steps >= max_steps:
             break
+        if max_rss_gb and _rss_gb() > max_rss_gb:
+            path = osp.join(log_dir, "epoch_%05d.ckpt" % epoch)
+            if not osp.isfile(path):
+                trainer.save_checkpoint(path, async_save=False)
+            logger.warning(
+                "RSS %.1f GB exceeds training.max_rss_gb=%.0f; checkpointed "
+                "epoch %d and exiting for a clean relaunch (auto-resume).",
+                _rss_gb(),
+                max_rss_gb,
+                epoch,
+            )
+            from .train.checkpoint import wait_for_pending_saves
+
+            wait_for_pending_saves()
+            writer.close()
+            return RSS_EXIT_CODE
 
     # join any in-flight async checkpoint writes before declaring success
     from .train.checkpoint import wait_for_pending_saves

@@ -108,6 +108,27 @@ def test_train_cli_end_to_end(corpus, tmp_path):
     yaml.safe_dump(cfg, open(resume_path, "w"))
     assert run(resume_path) == 0
 
+    # restart-on-RSS: when the process exceeds training.max_rss_gb the run
+    # checkpoints the current epoch and exits with the supervisor code; a
+    # relaunch auto-resumes past it
+    import pitchextractor_tpu.cli as cli_mod
+
+    rss_dir = tmp_path / "run_rss"
+    rss_cfg = yaml.safe_load(open(config_path))
+    rss_cfg["log_dir"] = str(rss_dir)
+    rss_cfg["epochs"] = 2
+    rss_cfg["save_freq"] = 5  # no periodic save before the guard fires
+    rss_path = str(root / "rss.yml")
+    yaml.safe_dump(rss_cfg, open(rss_path, "w"))
+    real_rss = cli_mod._rss_gb
+    cli_mod._rss_gb = lambda: 10_000.0
+    try:
+        assert run(rss_path) == cli_mod.RSS_EXIT_CODE
+    finally:
+        cli_mod._rss_gb = real_rss
+    assert (rss_dir / "epoch_00001.ckpt").is_file()  # guard checkpointed epoch 1
+    assert run(rss_path) == 0  # relaunch resumes and finishes epoch 2
+
     # auto-resume: re-running the SAME config with a raised epoch budget picks
     # up the newest epoch_*.ckpt in log_dir and continues (no pretrained_model)
     cfg = yaml.safe_load(open(config_path))
