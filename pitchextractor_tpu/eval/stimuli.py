@@ -51,12 +51,27 @@ def _render_sine_bank(f0_curves, lengths, partial_amps, sr, fade_time=0.02):
     return audio.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_frames",))
-def _frame_sample(curves, lengths, num_frames):
-    """Per-row linear resampling of (N, S) sample-rate curves onto
-    ``num_frames`` frame times spanning each row's true duration
-    (endpoint=False — the reference's ``sample_reference_f0`` timing)."""
-    frac = jnp.arange(num_frames)[None, :] * (lengths[:, None].astype(jnp.float32) / num_frames)
+@functools.partial(jax.jit, static_argnames=("num_frames", "hop"))
+def _frame_sample(curves, lengths, num_frames, hop=0):
+    """Per-row linear resampling of (N, S) sample-rate curves onto frame
+    times.
+
+    ``hop > 0``: frame k samples the curve at sample ``k*hop`` (clamped to
+    the row's true length) — the model's actual frame convention (mel frame
+    k is centered at sample ``k*hop``).  ``hop == 0``: the reference
+    notebooks' ``sample_reference_f0`` timing, ``k * length/num_frames`` —
+    a compressed time base that is wrong by up to one full frame at the end
+    of a row (114 cents on the 0.4 s 60-to-500 Hz glide) and kept only for
+    parity with the upstream metric."""
+    if hop > 0:
+        frac = jnp.minimum(
+            jnp.full((1, num_frames), float(hop)) * jnp.arange(num_frames)[None, :],
+            lengths[:, None].astype(jnp.float32) - 1.0,
+        )
+    else:
+        frac = jnp.arange(num_frames)[None, :] * (
+            lengths[:, None].astype(jnp.float32) / num_frames
+        )
     lo = jnp.clip(jnp.floor(frac).astype(jnp.int32), 0, curves.shape[1] - 1)
     hi = jnp.clip(lo + 1, 0, curves.shape[1] - 1)
     w = frac - lo
@@ -81,16 +96,22 @@ class StimulusBank:
         """Per-row audio trimmed to true length (predict_f0_batch input)."""
         return [self.audio[i, : self.lengths[i]] for i in range(len(self))]
 
-    def frame_reference(self, num_frames: int) -> np.ndarray:
-        """(N, num_frames) analytic contours at the model frame rate."""
+    def frame_reference(self, num_frames: int, hop: int = 0) -> np.ndarray:
+        """(N, num_frames) analytic contours at the model frame rate.
+
+        Pass the model ``hop`` (samples) for exact ``k*hop`` frame timing;
+        hop=0 reproduces the upstream notebooks' compressed time base
+        (see ``_frame_sample``)."""
         return np.asarray(
-            _frame_sample(jnp.asarray(self.f0), jnp.asarray(self.lengths), int(num_frames))
+            _frame_sample(
+                jnp.asarray(self.f0), jnp.asarray(self.lengths), int(num_frames), int(hop)
+            )
         )
 
-    def frame_reference_row(self, row: int, num_frames: int) -> np.ndarray:
+    def frame_reference_row(self, row: int, num_frames: int, hop: int = 0) -> np.ndarray:
         curve = self.f0[row, : self.lengths[row]]
         bank = _frame_sample(
-            jnp.asarray(curve[None, :]), jnp.asarray([len(curve)]), int(num_frames)
+            jnp.asarray(curve[None, :]), jnp.asarray([len(curve)]), int(num_frames), int(hop)
         )
         return np.asarray(bank)[0]
 

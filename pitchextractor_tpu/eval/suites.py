@@ -90,6 +90,13 @@ DEFAULT_TIMBRES = [
 
 
 # ------------------------------------------------------------------ engine
+def _hop(predictor) -> int:
+    """Model hop in samples for exact frame-time references (0 = unknown,
+    fall back to the upstream notebooks' compressed timing)."""
+    mel_params = getattr(predictor, "mel_params", None) or {}
+    return int(mel_params.get("hop_length", 0) or 0)
+
+
 def _predict_batch(predictor, waveforms: Sequence[np.ndarray]) -> List[np.ndarray]:
     """One batched dispatch when the predictor supports it."""
     batched = getattr(predictor, "predict_f0_batch", None)
@@ -150,7 +157,8 @@ def _run_bank(
     if degrade is not None:
         waves = [degrade(w, i) for i, w in enumerate(waves)]
     preds = _predict_batch(predictor, waves)
-    refs = [bank.frame_reference_row(i, len(preds[i])) for i in range(len(bank))]
+    hop = _hop(predictor)
+    refs = [bank.frame_reference_row(i, len(preds[i]), hop) for i in range(len(bank))]
     return _score(refs, preds, tags, frame_period_ms=frame_period_ms, overshoot=overshoot)
 
 
@@ -211,7 +219,7 @@ def amplitude_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
             refs_idx.append(i)
             tags.append({"suite": "agc", "tone_hz": tone, "agc_depth_db": depth})
     preds = _predict_batch(predictor, waves)
-    refs = [base.frame_reference_row(refs_idx[k], len(preds[k])) for k in range(len(waves))]
+    refs = [base.frame_reference_row(refs_idx[k], len(preds[k]), _hop(predictor)) for k in range(len(waves))]
     return _score(refs, preds, tags)
 
 
@@ -277,7 +285,7 @@ def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict
         waves.append(decoded)
         tags.append({"suite": "codec", "condition": f"{codec}_{kbps}k"})
     preds = _predict_batch(predictor, waves)
-    refs = [bank.frame_reference_row(0, len(p)) for p in preds]
+    refs = [bank.frame_reference_row(0, len(p), _hop(predictor)) for p in preds]
     return _score(refs, preds, tags) + skipped
 
 
@@ -309,7 +317,7 @@ def room_mic_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
         waves.append(apply_microphone_eq(clean, sr, profile["stages"]))
         tags.append({"suite": "microphone", "condition": profile["name"]})
     preds = _predict_batch(predictor, waves)
-    refs = [bank.frame_reference_row(0, len(p)) for p in preds]
+    refs = [bank.frame_reference_row(0, len(p), _hop(predictor)) for p in preds]
     return _score(refs, preds, tags)
 
 
@@ -363,7 +371,7 @@ def noise_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
             waves.append(add_noise_snr(clean, float(snr), color=color))
             tags.append({"suite": "noise", "condition": f"{color}_snr{snr}"})
     preds = _predict_batch(predictor, waves)
-    refs = [bank.frame_reference_row(0, len(p)) for p in preds]
+    refs = [bank.frame_reference_row(0, len(p), _hop(predictor)) for p in preds]
     return _score(refs, preds, tags)
 
 

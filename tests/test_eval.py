@@ -255,6 +255,26 @@ def test_stimulus_banks_match_scalar_generators():
     np.testing.assert_allclose(ref[1], 220.0, rtol=1e-5)
 
 
+def test_frame_reference_hop_exact_timing():
+    """With the model hop, frame k of the reference must sample the curve
+    at sample k*hop — the notebooks' compressed time base (hop=0) is wrong
+    by ~1 frame at the end of a steep short glide (>= 100 cents there)."""
+    from pitchextractor_tpu.eval.stimuli import glide_bank
+
+    SR, HOP = 24000, 300
+    bank, _ = glide_bank([0.4], 60.0, 500.0, SR)
+    L = int(bank.lengths[0])
+    num_frames = 1 + L // HOP
+    truth = np.linspace(60.0, 500.0, L)[np.minimum(np.arange(num_frames) * HOP, L - 1)]
+
+    exact = bank.frame_reference_row(0, num_frames, HOP)
+    np.testing.assert_allclose(exact, truth, rtol=1e-5)
+
+    legacy = bank.frame_reference_row(0, num_frames)
+    cents_err = 1200 * np.abs(np.log2(legacy[-1] / truth[-1]))
+    assert cents_err > 30, cents_err  # documents the upstream quirk (~1 frame)
+
+
 def test_compare_dirs_deltas(tmp_path):
     from pitchextractor_tpu.eval.compare import compare_dirs, summarize
 

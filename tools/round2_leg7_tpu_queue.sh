@@ -66,3 +66,16 @@ timeout 1800 python tools/profile_step.py --steps 12 \
 echo "profile rc=$?"
 
 echo "TPU-QUEUE-LEG7-DONE"
+
+# ---- 5. re-run all suites with the corrected k*hop reference timing ----
+CKPT=$(ls results/round2/flagship_g/epoch_*.ckpt 2>/dev/null | sort | tail -1)
+if [ -n "$CKPT" ]; then
+  timeout 7200 python evaluate.py \
+    --checkpoint "$CKPT" \
+    --config_path Configs/config_round2g.yml \
+    --suites all \
+    --output_dir results/round2/suites_g2 \
+    > results/round2/suites_g2.log 2>&1
+  echo "suites-g2 rc=$?"
+fi
+echo "TPU-QUEUE-LEG7-POST-DONE"
