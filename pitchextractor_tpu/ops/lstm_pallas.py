@@ -39,15 +39,19 @@ _INTERPRET = False  # flipped by tests to run the kernel on CPU
 
 
 def _use_bf16_matmuls() -> bool:
-    """Opt-in bf16 gate matmuls inside the kernels (f32 accumulate).
+    """bf16 gate matmuls inside the kernels (f32 accumulate) — default on.
 
     Outside the kernels the trainer already runs bf16 matmul precision; an
     f32 ``jnp.dot`` inside Pallas lowers to multi-pass MXU ops, so casting
     the operands to bf16 matches the model-wide mixed-precision semantics
-    while shortening the per-step critical path.  ``PEX_LSTM_BF16=1``."""
+    while shortening the per-step critical path (measured: model recurrence
+    fwd 9.36 -> 8.52 ms, fwd+bwd 24.6 -> 24.2 ms at B=64/H=384/T=192,
+    results/round2/bench_lstm_leg7*.jsonl).  ``PEX_LSTM_BF16=0`` opts out
+    (full-f32 kernels, e.g. for fp32 parity experiments)."""
     import os
 
-    return bool(os.environ.get("PEX_LSTM_BF16"))
+    flag = os.environ.get("PEX_LSTM_BF16", "1")
+    return flag not in ("0", "false", "off", "")
 
 
 def lane_aligned(hidden_size: int) -> bool:

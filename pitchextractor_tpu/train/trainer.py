@@ -117,6 +117,10 @@ class Trainer:
             # the Pallas recurrence kernel cannot be partitioned by the XLA
             # sharding pass — fall back to the lax.scan path under TP
             os.environ["PEX_DISABLE_PALLAS_LSTM"] = "1"
+        if not self.use_mixed_precision:
+            # fp32 mode means fp32 everywhere: opt the Pallas kernels out of
+            # their default bf16 gate matmuls (parity/oracle runs)
+            os.environ.setdefault("PEX_LSTM_BF16", "0")
 
         # --- initialise model + optimizer state --------------------------
         dummy = jnp.zeros((2, self.max_mel_length, self.n_mels, 1), jnp.float32)
