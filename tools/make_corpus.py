@@ -193,11 +193,13 @@ def _augment(rng: np.random.Generator, wave: np.ndarray) -> np.ndarray:
 
     One random corruption per call, mirroring the robustness suites'
     degradation families (eval/suites.py): band-limiting (codec/bandwidth),
-    hard clipping + AGC pumping (amplitude pathologies), additive noise
-    (noise robustness), and a one-pole tilt (microphone coloration).  None
-    of these move F0, so the analytic labels stay exact.
+    hard clipping + AGC pumping (amplitude pathologies), additive white or
+    pink noise (noise robustness — the suite's pink rows mask the low
+    harmonics and were the round-2g failure mode), and synthetic reverb
+    (room stress, exponential-decay noise RIR at T60 0.2-1.0 s).  None of
+    these move F0, so the analytic labels stay exact.
     """
-    kind = rng.integers(0, 4)
+    kind = rng.integers(0, 6)
     if kind == 0:  # brickwall lowpass at 2-8 kHz (keeps >=4 harmonics at 500 Hz)
         cutoff_hz = rng.uniform(2000.0, 8000.0)
         spec = np.fft.rfft(wave)
@@ -219,13 +221,39 @@ def _augment(rng: np.random.Generator, wave: np.ndarray) -> np.ndarray:
             (depth_db / 20.0) * np.sin(2 * np.pi * rate * t + rng.uniform(0, 2 * np.pi))
         )
         return (wave * gain).astype(np.float32)
-    # kind == 3: white noise at SNR 5-30 dB over the voiced-region power
-    power = float(np.mean(wave**2))
-    if power <= 0:
-        return wave
-    snr_db = rng.uniform(5.0, 30.0)
-    noise_std = np.sqrt(power / 10.0 ** (snr_db / 10.0))
-    return (wave + noise_std * rng.standard_normal(len(wave))).astype(np.float32)
+    if kind == 3:  # white noise at SNR 5-30 dB over the voiced-region power
+        power = float(np.mean(wave**2))
+        if power <= 0:
+            return wave
+        snr_db = rng.uniform(5.0, 30.0)
+        noise_std = np.sqrt(power / 10.0 ** (snr_db / 10.0))
+        return (wave + noise_std * rng.standard_normal(len(wave))).astype(np.float32)
+    if kind == 4:  # pink (1/f) noise at SNR 0-20 dB — masks the fundamental
+        power = float(np.mean(wave**2))
+        if power <= 0:
+            return wave
+        snr_db = rng.uniform(0.0, 20.0)
+        spec = np.fft.rfft(rng.standard_normal(len(wave)))
+        freqs = np.fft.rfftfreq(len(wave), 1.0 / SR)
+        spec /= np.sqrt(np.maximum(freqs, freqs[1]))  # 1/f power spectrum
+        pink = np.fft.irfft(spec, n=len(wave))
+        pink /= max(float(np.std(pink)), 1e-12)
+        noise_std = np.sqrt(power / 10.0 ** (snr_db / 10.0))
+        return (wave + noise_std * pink).astype(np.float32)
+    # kind == 5: synthetic reverb — exponential-decay noise RIR, T60 0.2-1.0 s
+    t60 = rng.uniform(0.2, 1.0)
+    rir_len = int(t60 * SR)
+    t = np.arange(rir_len) / SR
+    rir = rng.standard_normal(rir_len) * np.exp(-6.9078 * t / t60)  # ln(1e3)
+    rir[0] = 1.0  # keep the direct path dominant
+    rir /= max(float(np.sqrt(np.sum(rir**2))), 1e-12)
+    wet = np.fft.irfft(
+        np.fft.rfft(wave, n=len(wave) + rir_len) * np.fft.rfft(rir, n=len(wave) + rir_len)
+    )[: len(wave)]
+    peak = float(np.max(np.abs(wet)))
+    if peak > 0.99:
+        wet = wet * (0.99 / peak)
+    return wet.astype(np.float32)
 
 
 def _burst_tone(rng: np.random.Generator, duration: float):
