@@ -37,6 +37,24 @@ from .init import kaiming_uniform, xavier_normal, zeros
 from .sequence import _lstm_use_pallas, sequence_model_from_config
 
 
+def _max_pool_freq(x, w: int):
+    """Non-overlapping MaxPool(1, w) on the frequency axis of NHWC input.
+
+    Forward-identical to ``nn.max_pool(x, (1, w), strides=(1, w))`` (the
+    uncovered tail when F % w != 0 is dropped either way), but the
+    reshape+reduce-max formulation gives XLA an eq-mask backward instead of
+    ``select-and-scatter`` — the latter measured 7.3 ms/step across the 7
+    pools on TPU (RESULTS.md leg-7 trace).  Tie gradients split among
+    maxima instead of torch's first-index rule (subgradient choice only;
+    forward parity is exact)."""
+    f = x.shape[2]
+    out_f = f // w
+    if out_f * w != f:
+        x = x[:, :, : out_f * w, :]
+    x = x.reshape(x.shape[0], x.shape[1], out_f, w, x.shape[-1])
+    return jnp.max(x, axis=3)
+
+
 def _leaky_relu(x, slope):
     return nn.leaky_relu(x, negative_slope=slope)
 
@@ -70,7 +88,7 @@ class ResBlock(nn.Module):
         # BN / LReLU / MaxPool(1,2) on the frequency axis
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pre_bn")(x)
         x = _leaky_relu(x, self.leaky_relu_slope)
-        x = nn.max_pool(x, window_shape=(1, 2), strides=(1, 2))
+        x = _max_pool_freq(x, 2)
 
         h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(h)
@@ -154,7 +172,7 @@ class JDCNet(nn.Module):
         # pool block: BN + LReLU + MaxPool(1,4) + Dropout(0.5)
         pool = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pool_bn")(res3)
         pool = _leaky_relu(pool, slope)
-        pool = nn.max_pool(pool, window_shape=(1, 4), strides=(1, 4))
+        pool = _max_pool_freq(pool, 4)
         pool = nn.Dropout(0.5, deterministic=not train, name="pool_dropout")(pool)
         # (B, T, 2, 256)
 
@@ -165,9 +183,9 @@ class JDCNet(nn.Module):
         classifier_in = jnp.swapaxes(pool, 2, 3).reshape((B, seq_len, -1))
 
         # auxiliary maxpools collapse frequency to 2 for the detector skip concat
-        mp1 = nn.max_pool(convblock_out, window_shape=(1, 40), strides=(1, 40))
-        mp2 = nn.max_pool(res1, window_shape=(1, 20), strides=(1, 20))
-        mp3 = nn.max_pool(res2, window_shape=(1, 10), strides=(1, 10))
+        mp1 = _max_pool_freq(convblock_out, 40)
+        mp2 = _max_pool_freq(res1, 20)
+        mp3 = _max_pool_freq(res2, 10)
         concat = jnp.concatenate([mp1, mp2, mp3, pool], axis=-1)  # (B, T, 2, 640)
 
         det = nn.Conv(256, (1, 1), use_bias=False, kernel_init=xavier_normal, name="detector_conv")(concat)
