@@ -188,6 +188,11 @@ def _render_partials(rng: np.random.Generator, f0: np.ndarray, n_partials_max: i
     return x.astype(np.float32)
 
 
+# relative draw weights for the six augment kinds (lowpass, clip, agc,
+# white, pink, reverb); stage configs override via --augment-weights
+_AUGMENT_WEIGHTS = np.ones(6)
+
+
 def _augment(rng: np.random.Generator, wave: np.ndarray) -> np.ndarray:
     """Label-preserving signal degradation (round-2d robustness mix).
 
@@ -199,7 +204,7 @@ def _augment(rng: np.random.Generator, wave: np.ndarray) -> np.ndarray:
     (room stress, exponential-decay noise RIR at T60 0.2-1.0 s).  None of
     these move F0, so the analytic labels stay exact.
     """
-    kind = rng.integers(0, 6)
+    kind = int(rng.choice(6, p=_AUGMENT_WEIGHTS / _AUGMENT_WEIGHTS.sum()))
     if kind == 0:  # brickwall lowpass at 2-8 kHz (keeps >=4 harmonics at 500 Hz)
         cutoff_hz = rng.uniform(2000.0, 8000.0)
         spec = np.fft.rfft(wave)
@@ -409,6 +414,12 @@ def make_corpus(
 @click.option("--vibrato-share", default=0.0, type=float)
 @click.option("--wander-share", default=0.0, type=float)
 @click.option("--augment-share", default=0.0, type=float)
+@click.option(
+    "--augment-weights",
+    default=None,
+    type=str,
+    help="six comma-separated draw weights: lowpass,clip,agc,white,pink,reverb",
+)
 @click.option("--seed", default=11, type=int)
 def main(
     root,
@@ -421,8 +432,14 @@ def main(
     vibrato_share,
     wander_share,
     augment_share,
+    augment_weights,
     seed,
 ):
+    if augment_weights:
+        global _AUGMENT_WEIGHTS
+        parts = [float(v) for v in augment_weights.split(",")]
+        assert len(parts) == 6, "need six weights"
+        _AUGMENT_WEIGHTS = np.asarray(parts)
     print(
         make_corpus(
             root,
