@@ -430,7 +430,7 @@ def test_crepe_capacity_fallback_to_packaged_weights():
     from pitchextractor_tpu.labels.crepe import CrepeLabeler
 
     lab = CrepeLabeler(capacity="full")
-    assert lab.capacity_name in ("small", "tiny")
+    assert lab.capacity_name in ("medium", "small", "tiny")  # largest packaged wins
     sr = 24000
     t = np.arange(sr) / sr
     audio = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)

@@ -168,7 +168,10 @@ def test_data_parallel_8_devices():
     mesh1 = make_mesh(devices=jax.devices()[:1])
     trainer1 = _tiny_trainer(batches, batches[:1], mesh=mesh1)
     r1 = trainer1._train_epoch()
-    np.testing.assert_allclose(r["train/loss"], r1["train/loss"], rtol=1e-4)
+    # XLA does not guarantee bitwise-identical f32 reductions across sharding
+    # layouts (fusion/reassociation differ per mesh); 1e-3 still catches real
+    # DP bugs (a wrong psum or missing shard is orders of magnitude off)
+    np.testing.assert_allclose(r["train/loss"], r1["train/loss"], rtol=1e-3)
 
 
 def test_eval_batch_padding_to_mesh():
