@@ -312,6 +312,47 @@ def _burst_tone(rng: np.random.Generator, duration: float):
     return x.astype(np.float32), f0[frame_idx].astype(np.float32)
 
 
+def _steep_glide(rng: np.random.Generator, duration: float):
+    """Short steep glide in an otherwise silent file (dynamic-pitch glide
+    rows: 60→500 Hz in 0.4-0.8 s is ~4-8 octaves/s — far outside the
+    whole-file glide class's ≤1 oct/s range, and the round-2j residual)."""
+    n = int(SR * duration)
+    span_s = rng.uniform(0.3, 1.2)
+    nv = min(int(SR * span_s), n)
+    # bias toward file start: eval glides begin at t=0
+    start = 0 if rng.random() < 0.5 else int(rng.uniform(0, n - nv))
+    tv = np.arange(nv) / SR
+    octaves = rng.uniform(1.5, 3.0) * (1 if rng.random() < 0.5 else -1)  # span 60-520 Hz is 3.12 oct
+    lo, hi = np.log2(60.0), np.log2(520.0)
+    a = rng.uniform(max(lo, lo - min(octaves, 0)), min(hi, hi - max(octaves, 0)))
+    f0v = 2.0 ** (a + octaves * tv / span_s)
+
+    phase = 2 * np.pi * np.cumsum(f0v) / SR
+    n_partials = int(rng.integers(1, 5))
+    rolloff = rng.uniform(0.3, 0.7)
+    xv = np.zeros(nv)
+    for k in range(1, n_partials + 1):
+        if k * f0v.max() < SR / 2:
+            xv += (rolloff ** (k - 1)) * np.sin(k * phase)
+    fade = max(int(0.01 * SR), 1)
+    env = np.ones(nv)
+    env[:fade] = np.linspace(0.0, 1.0, fade)
+    env[-fade:] = np.linspace(1.0, 0.0, fade)
+    xv *= env
+    peak = np.abs(xv).max()
+    if peak > 0:
+        xv *= rng.uniform(0.25, 0.6) / peak
+
+    x = np.zeros(n)
+    x[start : start + nv] = xv
+    x += 10.0 ** (-55.0 / 20.0) * rng.standard_normal(n)
+    f0 = np.zeros(n)
+    f0[start : start + nv] = f0v
+    n_frames = 1 + n // HOP
+    frame_idx = np.minimum(np.arange(n_frames) * HOP, n - 1)
+    return x.astype(np.float32), f0[frame_idx].astype(np.float32)
+
+
 def make_corpus(
     root: str,
     n: int = 300,
@@ -322,6 +363,7 @@ def make_corpus(
     glide_share: float = 0.0,
     vibrato_share: float = 0.0,
     wander_share: float = 0.0,
+    steepglide_share: float = 0.0,
     augment_share: float = 0.0,
     seed: int = 11,
     min_duration: float = 2.6,
@@ -361,7 +403,15 @@ def make_corpus(
         draw = rng.random()
         duration = rng.uniform(min_duration, max_duration)
         edges = np.cumsum(
-            [sweep_share, burst_share, glide_share, vibrato_share, wander_share, tone_share]
+            [
+                sweep_share,
+                burst_share,
+                glide_share,
+                vibrato_share,
+                wander_share,
+                steepglide_share,
+                tone_share,
+            ]
         )
         if draw < edges[0]:
             wave, contour = _sweep_tone(rng, duration)
@@ -373,8 +423,10 @@ def make_corpus(
             wave, contour = _vibrato_tone(rng, duration)
         elif draw < edges[4]:
             wave, contour = _wander_tone(rng, duration)
+        elif draw < edges[5]:
+            wave, contour = _steep_glide(rng, duration)
         else:
-            synth = tone_synth if draw < edges[5] else vowel_synth
+            synth = tone_synth if draw < edges[6] else vowel_synth
             wave, contour = synth.generate()
         if rng.random() < augment_share:
             wave = _augment(rng, wave)
@@ -415,6 +467,7 @@ def make_corpus(
 @click.option("--glide-share", default=0.0, type=float)
 @click.option("--vibrato-share", default=0.0, type=float)
 @click.option("--wander-share", default=0.0, type=float)
+@click.option("--steepglide-share", default=0.0, type=float)
 @click.option("--augment-share", default=0.0, type=float)
 @click.option(
     "--augment-weights",
@@ -433,6 +486,7 @@ def main(
     glide_share,
     vibrato_share,
     wander_share,
+    steepglide_share,
     augment_share,
     augment_weights,
     seed,
@@ -453,6 +507,7 @@ def main(
             glide_share,
             vibrato_share,
             wander_share,
+            steepglide_share,
             augment_share,
             seed,
         )
