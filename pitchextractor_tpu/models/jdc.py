@@ -204,9 +204,15 @@ class JDCNet(nn.Module):
         # opts out (e.g. for narrow-VMEM parts).
         import os
 
+        # VMEM guard: beyond the scoped-vmem budget fall back to the
+        # per-head C=2 path (ops/lstm_pallas.pallas_vmem_fits)
+        from ..ops.lstm_pallas import pallas_vmem_fits
+
+        fused4_fits = pallas_vmem_fits(4, B, clf.hidden_size)
         fused4 = (
             not os.environ.get("PEX_DISABLE_FUSED4_LSTM")
             and _lstm_use_pallas()
+            and fused4_fits
             and clf.model_type.lower() == "bilstm"
             and clf.bidirectional
             and __import__("pitchextractor_tpu.ops.lstm_pallas", fromlist=["lane_aligned"]).lane_aligned(clf.hidden_size)

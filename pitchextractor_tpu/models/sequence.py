@@ -75,9 +75,9 @@ class LSTMLayer(nn.Module):
             # fused bidirectional path: the parent runs the recurrence
             return x_proj, w_hh
 
-        from ..ops.lstm_pallas import lane_aligned
+        from ..ops.lstm_pallas import lane_aligned, pallas_vmem_fits
 
-        if _lstm_use_pallas() and lane_aligned(H):
+        if _lstm_use_pallas() and lane_aligned(H) and pallas_vmem_fits(1, B, H):
             from ..ops.lstm_pallas import lstm_layer_pallas
 
             hs = lstm_layer_pallas(x_proj, w_hh, reverse=self.reverse)
@@ -129,11 +129,17 @@ class BiLSTM(nn.Module):
 
     def __call__(self, x, train: bool = False):
         h = x
-        from ..ops.lstm_pallas import lane_aligned
+        from ..ops.lstm_pallas import lane_aligned, pallas_vmem_fits
 
         # the kernel slices gate blocks of width H on the lane axis, so the
-        # hidden size must align to the 128-lane tiling
-        fused = self.bidirectional and _lstm_use_pallas() and lane_aligned(self.hidden_size)
+        # hidden size must align to the 128-lane tiling; the 2-chain kernel
+        # must also fit scoped VMEM at this batch size
+        fused = (
+            self.bidirectional
+            and _lstm_use_pallas()
+            and lane_aligned(self.hidden_size)
+            and pallas_vmem_fits(2, x.shape[0], self.hidden_size)
+        )
         for layer in range(self.num_layers):
             fwd_layer = getattr(self, f"l{layer}_fwd")
             if fused:

@@ -54,6 +54,15 @@ def _use_bf16_matmuls() -> bool:
     return flag not in ("0", "false", "off", "")
 
 
+def pallas_vmem_fits(chains: int, batch: int, hidden_size: int) -> bool:
+    """Whether the fused recurrence kernel's per-step working set fits the
+    ~16 MB scoped-VMEM limit.  Measured on v5e: chains*B*H = 196608
+    (C=2/B=256 or C=4/B=128 at H=384) requests 18 MB and fails to compile;
+    98304 (C=4/B=64, C=2/B=128) uses ~9 MB.  Callers fall back to fewer
+    chains or the lax.scan path above the budget."""
+    return chains * batch * hidden_size <= 100_000
+
+
 def lane_aligned(hidden_size: int) -> bool:
     """The kernels slice gate blocks of width H on the lane axis; H must
     align to the 128-lane tiling (interpret mode has no tiling)."""
