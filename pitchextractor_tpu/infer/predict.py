@@ -155,6 +155,7 @@ class F0Predictor:
         overlap: int = 48,
         voicing_threshold_hz: float = 10.0,
         bucket_seconds: float = 1.0,
+        octave_correction: bool = False,
     ) -> None:
         from ..config import normalize_mel_params
 
@@ -170,6 +171,7 @@ class F0Predictor:
         # jitted graph compiles for a bounded set of shapes; the contour is
         # trimmed back to the true frame count
         self.bucket_seconds = float(bucket_seconds)
+        self.octave_correction = bool(octave_correction)
 
     @property
     def sample_rate(self) -> int:
@@ -295,7 +297,44 @@ class F0Predictor:
             if start + lo >= end:
                 continue
             out[start + lo : end] = chunks[i][lo : end - start]
+        if self.octave_correction:
+            out = octave_correct(out, self.voicing_threshold_hz)
         return out
+
+
+def octave_correct(
+    f0: np.ndarray,
+    voicing_threshold_hz: float = 10.0,
+    window: int = 9,
+    threshold_octaves: float = 0.6,
+) -> np.ndarray:
+    """Snap isolated octave flips back onto the local contour.
+
+    Classical trackers decode F0 with continuity constraints; the JDC
+    regression head has none, and on dense-harmonic vowels ~4% of voiced
+    frames land an exact octave off (RESULTS.md real-audio suite).  For
+    each voiced frame, compare log2(f0) to the running median over the
+    ``window`` nearest voiced frames and divide out the rounded octave
+    offset when it exceeds ``threshold_octaves``.  The margin is sized so
+    legitimate fast contours survive: the steepest eval glide (~7.6 oct/s)
+    moves ~0.43 octaves across the half-window, under the 0.6 threshold.
+    Opt-in (``F0Predictor(octave_correction=True)``) — default off to keep
+    raw-model parity with the reference notebooks.
+    """
+    f0 = np.asarray(f0, dtype=np.float32)
+    voiced_idx = np.nonzero(f0 > voicing_threshold_hz)[0]
+    if voiced_idx.size < window:
+        return f0
+    logf = np.log2(f0[voiced_idx])
+    half = window // 2
+    padded = np.pad(logf, (half, half), mode="edge")
+    windows = np.lib.stride_tricks.sliding_window_view(padded, window)
+    med = np.median(windows, axis=-1)
+    shift = np.round(logf - med)
+    shift[np.abs(logf - med) <= threshold_octaves] = 0.0
+    out = f0.copy()
+    out[voiced_idx] = f0[voiced_idx] / (2.0**shift)
+    return out
 
 
 def latest_checkpoint(path: str) -> Optional[str]:

@@ -176,3 +176,29 @@ def test_predict_f0_batch_matches_single(predictor):
         single = predictor.predict_f0(audio)
         assert batched.shape == single.shape
         np.testing.assert_allclose(batched, single, atol=2e-3)
+
+
+def test_octave_correct_snaps_isolated_flips_only():
+    """Isolated octave flips snap back; steep glides, deep vibrato, and
+    unvoiced gaps pass through untouched (margin sized for ~7.6 oct/s)."""
+    import numpy as np
+
+    from pitchextractor_tpu.infer.predict import octave_correct
+
+    f0 = np.full(100, 220.0, np.float32)
+    f0[30] = 440.0
+    f0[60] = 110.0
+    f0[10:15] = 0.0
+    out = octave_correct(f0)
+    assert abs(out[30] - 220.0) < 1e-3 and abs(out[60] - 220.0) < 1e-3
+    assert np.all(out[10:15] == 0)
+    assert np.allclose(out[70:], 220.0)
+
+    glide = (60.0 * 2.0 ** np.linspace(0, 3.0, 33)).astype(np.float32)
+    np.testing.assert_allclose(octave_correct(glide), glide)
+
+    t = np.arange(200)
+    vib = (220.0 * 2.0 ** ((200 / 1200.0) * np.sin(2 * np.pi * t / 24))).astype(
+        np.float32
+    )
+    np.testing.assert_allclose(octave_correct(vib), vib)
