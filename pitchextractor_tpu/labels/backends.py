@@ -294,6 +294,24 @@ class CrepeBackend(BaseF0Backend):
         )
         return f0
 
+    def compute_batch(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        """One CNN apply for the whole batch (all utterances' windows share
+        the batch axis) instead of the base class's per-row loop."""
+        sr = int(sr or self.sample_rate)
+        batch = np.asarray(audio, dtype=np.float32)
+        if batch.ndim == 1:
+            batch = batch[None, :]
+        hop = max(1, int(round(self.step_size_ms * sr / 1000.0)))
+        f0, periodicity = self._labeler.predict_batch(batch, sr, hop)
+        if self.use_median_filter > 1:
+            from .filters import median_filter_1d
+
+            f0 = np.stack([median_filter_1d(row, self.use_median_filter) for row in f0])
+        f0 = f0.astype(np.float64)
+        if self.return_periodicity and self.periodicity_threshold > 0:
+            f0[periodicity < self.periodicity_threshold] = 0.0
+        return f0
+
 
 class SwiftF0Backend(BaseF0Backend):
     """SwiftF0-style STFT+CNN labeler in flax (reference f0_backends.py:352-434)."""
@@ -357,6 +375,24 @@ class SwiftF0Backend(BaseF0Backend):
         f0 = np.asarray(f0, dtype=np.float64)
         mean_conf = float(np.mean(confidence)) if confidence.size else 0.0
         self.log(f"SwiftF0 analysed {f0.size} frames with mean confidence {mean_conf:.3f}.")
+        if self.zero_unvoiced and voicing.size:
+            f0 = f0.copy()
+            f0[~voicing.astype(bool)] = self.unvoiced_value
+        return f0
+
+    def compute_batch(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        """One CNN apply for the whole batch (base class loops per row)."""
+        sr = int(sr or self.sample_rate)
+        batch = np.asarray(audio, dtype=np.float32)
+        if batch.ndim == 1:
+            batch = batch[None, :]
+        try:
+            f0, _confidence, voicing = self._labeler.detect_batch(batch, sr)
+        except BackendUnavailableError:
+            raise
+        except Exception as exc:  # pragma: no cover - defensive
+            raise BackendComputationError(f"SwiftF0 failed to compute F0: {exc}") from exc
+        f0 = np.asarray(f0, dtype=np.float64)
         if self.zero_unvoiced and voicing.size:
             f0 = f0.copy()
             f0[~voicing.astype(bool)] = self.unvoiced_value
@@ -506,3 +542,102 @@ class ParselmouthBackend(PraatBackend):
     """Alias backend (reference f0_backends.py:581-584)."""
 
     backend_type = "parselmouth"
+
+
+class JDCBackend(BaseF0Backend):
+    """The trained JDCNet itself as a labeling backend (new capability).
+
+    Closes the self-training loop: the round-2 flagship out-tracks the
+    classical cascade it was bootstrapped from (model vs exact truth RPA
+    0.978 / 0.0% octave flips vs jax_ac 0.905 / 3.8% on dense-harmonic
+    vowels — RESULTS.md), so later corpora can be labeled by the model.
+    The reference has no analog (its labelers are all external packages,
+    f0_backends.py:587-593).
+
+    Config: ``checkpoint`` (path, or a run dir whose newest epoch_*.ckpt is
+    used; required), ``voicing_threshold_hz`` (default 10.0, the notebooks'
+    eval rule), ``octave_correction`` (default off), ``batch_size`` cap for
+    the batched path.
+    """
+
+    backend_type = "jdc"
+    requires_accelerator = True
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        checkpoint = self.config.get("checkpoint") or self.config.get("checkpoint_dir")
+        if not checkpoint:
+            raise BackendUnavailableError(
+                "jdc backend needs a 'checkpoint' (file or run dir) in its config"
+            )
+        import os as _os
+
+        from ..infer import F0Predictor, latest_checkpoint, load_model
+
+        if _os.path.isdir(str(checkpoint)):
+            checkpoint = latest_checkpoint(str(checkpoint))
+        if not checkpoint or not _os.path.isfile(str(checkpoint)):
+            raise BackendUnavailableError(
+                f"jdc backend checkpoint not found: {self.config.get('checkpoint')!r}"
+            )
+        self._checkpoint_path = str(checkpoint)
+        try:
+            model, variables = load_model(self._checkpoint_path)
+        except Exception as exc:
+            raise BackendUnavailableError(f"jdc checkpoint failed to load: {exc}") from exc
+        self._predictor = F0Predictor(
+            model,
+            variables,
+            voicing_threshold_hz=self._coerce_float("voicing_threshold_hz", 10.0),
+            octave_correction=bool(self.config.get("octave_correction", False)),
+        )
+        self.batch_size = int(self.config.get("batch_size", 64) or 64)
+
+    @property
+    def cache_key(self) -> str:
+        suffix = self.config.get("cache_key_suffix")
+        if suffix:
+            return f"{self.name}-{suffix}"
+        # labels change with the checkpoint: key on its basename
+        import os as _os
+
+        stem = _os.path.splitext(_os.path.basename(self._checkpoint_path))[0]
+        return f"{self.name}-{stem}"
+
+    def _to_native_sr(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        waveform = np.asarray(audio, dtype=np.float32).reshape(-1)
+        if sr != self._predictor.sample_rate:
+            from ..dsp import resample_np
+
+            waveform = resample_np(waveform, sr, self._predictor.sample_rate)
+        return waveform
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        sr = int(sr or self.sample_rate)
+        waveform = self._to_native_sr(audio, sr)
+        if waveform.size == 0:
+            return np.zeros((0,), dtype=np.float64)
+        try:
+            f0, voiced = self._predictor.predict(waveform)
+        except Exception as exc:
+            raise BackendComputationError(f"jdc inference failed: {exc}") from exc
+        f0 = np.where(voiced, f0, 0.0)
+        self.log(f"jdc labeled {f0.shape[0]} frames from {self._checkpoint_path}.")
+        return np.asarray(f0, dtype=np.float64)
+
+    def compute_batch(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        sr = int(sr or self.sample_rate)
+        batch = np.asarray(audio, dtype=np.float32)
+        if batch.ndim == 1:
+            batch = batch[None, :]
+        rows = [self._to_native_sr(row, sr) for row in batch]
+        out = []
+        for lo in range(0, len(rows), self.batch_size):
+            out.extend(self._predictor.predict_f0_batch(rows[lo : lo + self.batch_size]))
+        thr = self._predictor.voicing_threshold_hz
+        contours = [np.where(np.asarray(c) > thr, np.asarray(c), 0.0) for c in out]
+        n = max(len(c) for c in contours)
+        dense = np.zeros((len(contours), n), dtype=np.float64)
+        for i, c in enumerate(contours):
+            dense[i, : len(c)] = c
+        return dense

@@ -200,6 +200,38 @@ class CrepeLabeler:
         )
         return np.asarray(f0, dtype=np.float64), np.asarray(periodicity, dtype=np.float64)
 
+    def predict_batch(
+        self, waveforms: np.ndarray, sr: int, hop_length: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, samples) equal-length waveforms -> (B, frames) f0/periodicity.
+
+        All utterances' analysis windows run through the CNN in ONE apply
+        (B*n_frames becomes the batch axis) — the per-utterance path costs a
+        dispatch round trip per file, which dominates over remote transports.
+        """
+        batch = np.asarray(waveforms, dtype=np.float32)
+        if batch.ndim == 1:
+            batch = batch[None, :]
+        if sr != CREPE_SAMPLE_RATE:
+            hop_model = max(1, int(round(hop_length * CREPE_SAMPLE_RATE / sr)))
+            batch = np.stack([resample_np(row, sr, CREPE_SAMPLE_RATE) for row in batch])
+        else:
+            hop_model = hop_length
+        frames = np.stack([_frame_audio(row, hop_model) for row in batch])
+        B, T, W = frames.shape
+        probs = _forward_frames(
+            self.model.apply, self.variables, jnp.asarray(frames.reshape(B * T, W))
+        )
+        f0, periodicity = _decode_weighted_argmax(
+            probs,
+            frequency_to_cents(jnp.float32(self.fmin)),
+            frequency_to_cents(jnp.float32(self.fmax)),
+        )
+        return (
+            np.asarray(f0, dtype=np.float64).reshape(B, T),
+            np.asarray(periodicity, dtype=np.float64).reshape(B, T),
+        )
+
 
 def _frame_audio(waveform: np.ndarray, hop: int) -> np.ndarray:
     """Centered 1024-sample frames every ``hop`` samples (zero padded)."""

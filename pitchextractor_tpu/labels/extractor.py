@@ -61,6 +61,13 @@ class F0Extractor:
         self.hop_length = int(hop_length)
         self.verbose = verbose
         config = config or {}
+        # accept a dataset_params-shaped dict ({"f0_params": {...}}): callers
+        # routinely hold that level, and silently falling back to the default
+        # chain when handed one is a foot-gun
+        if "f0_params" in config and not (
+            config.get("backends") or config.get("backend_order")
+        ):
+            config = dict(config.get("f0_params") or {})
         self.bad_f0_threshold = int(config.get("bad_f0_threshold", 5))
         zero_fill = config.get("zero_fill_value", 0.0)
         if zero_fill is None:

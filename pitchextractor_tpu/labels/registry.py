@@ -16,6 +16,7 @@ from .backends import (
     CrepeBackend,
     JaxACBackend,
     JaxYinBackend,
+    JDCBackend,
     ParselmouthBackend,
     JaxPyinBackend,
     PraatBackend,
@@ -31,6 +32,7 @@ BACKEND_REGISTRY: Dict[str, Type[BaseF0Backend]] = {
     "yin": JaxYinBackend,
     "jax_pyin": JaxPyinBackend,
     "pyin": JaxPyinBackend,
+    "jdc": JDCBackend,
     # reference-compatible backend types (f0_backends.py:587-593)
     "pyworld": PyWorldBackend,
     "crepe": CrepeBackend,

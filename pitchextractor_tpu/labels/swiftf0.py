@@ -220,6 +220,32 @@ class SwiftF0Labeler:
         )
         return f0, confidence, voicing
 
+    def detect_batch(
+        self, waveforms: np.ndarray, sr: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(B, samples) equal-length -> (B, frames) pitch/confidence/voicing:
+        every utterance's spectrogram patch goes through the CNN in one
+        apply (per-row dispatch round trips dominate over remote
+        transports)."""
+        batch = np.asarray(waveforms, dtype=np.float32)
+        if batch.ndim == 1:
+            batch = batch[None, :]
+        if sr != TARGET_SAMPLE_RATE:
+            batch = np.stack([resample_np(row, sr, TARGET_SAMPLE_RATE) for row in batch])
+        patches = np.concatenate([self._patch(row) for row in batch], axis=0)
+        f0, confidence = _forward(self.model.apply, self.variables, jnp.asarray(patches))
+        f0 = np.asarray(f0, dtype=np.float64)
+        confidence = np.asarray(confidence, dtype=np.float64)
+        if self.calibration is not None:
+            c0, s = self.calibration
+            confidence = 1.0 / (1.0 + np.exp(-(confidence - c0) / s))
+        voicing = (
+            (confidence >= self.confidence_threshold)
+            & (f0 >= self.fmin)
+            & (f0 <= self.fmax)
+        )
+        return f0, confidence, voicing
+
 
 def load_swiftf0_weights(path: str):
     """-> (variables, format, calibration).

@@ -430,7 +430,7 @@ def test_crepe_capacity_fallback_to_packaged_weights():
     from pitchextractor_tpu.labels.crepe import CrepeLabeler
 
     lab = CrepeLabeler(capacity="full")
-    assert lab.capacity_name in ("medium", "small", "tiny")  # largest packaged wins
+    assert lab.capacity_name in ("large", "medium", "small", "tiny")  # largest packaged wins
     sr = 24000
     t = np.arange(sr) / sr
     audio = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
@@ -493,3 +493,96 @@ def test_bucket_length_grid():
     assert bucket_length(9 * sr, sr, 1.0) == 16 * sr
     assert bucket_length(17 * sr, sr, 1.0) == 32 * sr
     assert bucket_length(100, sr, 0) == 100  # disabled
+
+
+def test_jdc_backend_model_as_labeler(tmp_path):
+    """The trained model can serve as a labeling backend: checkpoint-keyed
+    cache identity, eval voicing rule, batched path; a missing checkpoint
+    makes the backend unavailable (cascade skips with a reason)."""
+    import jax
+    import numpy as np
+
+    from pitchextractor_tpu.labels import build_f0_extractor
+    from pitchextractor_tpu.models import JDCNet
+    from pitchextractor_tpu.train import checkpoint as ckpt_lib
+
+    sr, hop = 24000, 300
+    seq_cfg = {"model_type": "bilstm", "num_layers": 1, "hidden_size": 16}
+    model = JDCNet(num_class=1, sequence_model_config=seq_cfg)
+    x = np.zeros((1, 192, 80, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    path = str(tmp_path / "epoch_00007.ckpt")
+    ckpt_lib.save_checkpoint(
+        path,
+        variables["params"],
+        variables.get("batch_stats", {}),
+        {},
+        steps=7,
+        epochs=7,
+        extra_meta={"model_params": {"num_class": 1, "sequence_model": seq_cfg}},
+    )
+
+    cfg = {
+        "f0_params": {
+            "backend_order": ["jdc"],
+            "backends": {"jdc": {"enabled": True, "checkpoint": str(tmp_path)}},
+        }
+    }
+    ext = build_f0_extractor(sr, hop, cfg)
+    assert [b.name for b in ext.backends] == ["jdc"]
+    assert "epoch_00007" in ext.cache_identifier
+
+    t = np.arange(sr) / sr
+    tone = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    f0 = ext.backends[0].compute(tone, sr)
+    assert f0.shape == (1 + sr // hop,)
+    assert np.all((f0 == 0) | (f0 > 10.0))  # eval voicing rule zeroes the rest
+
+    batch = ext.backends[0].compute_batch(np.stack([tone, tone]), sr)
+    assert batch.shape[0] == 2 and batch.shape[1] >= 1 + sr // hop - 1
+
+    # missing checkpoint -> unavailable, skipped with a reason
+    bad = build_f0_extractor(
+        sr,
+        hop,
+        {
+            "f0_params": {
+                "backend_order": ["jdc", "jax_ac"],
+                "backends": {
+                    "jdc": {"enabled": True, "checkpoint": str(tmp_path / "nope")},
+                    "jax_ac": {"enabled": True},
+                },
+            }
+        },
+    )
+    assert [b.name for b in bad.backends] == ["jax_ac"]
+    assert any("jdc" in s for s in bad.describe_skipped_backends())
+
+
+def test_neural_backend_batched_matches_single():
+    """CREPE/SwiftF0 compute_batch must match per-row compute (one model
+    apply for the whole batch instead of the base class's loop)."""
+    import os as _os
+
+    if not _os.path.isfile("weights/crepe_small.npz"):
+        pytest.skip("packaged crepe weights absent")
+    tone = np.stack([_tone(220.0, 0.6), _tone(330.0, 0.6)])
+    for cfg in (
+        {"backend_order": ["crepe"], "backends": {"crepe": {"enabled": True, "model": "small"}}},
+        {"backend_order": ["swiftf0"], "backends": {"swiftf0": {"enabled": True}}},
+    ):
+        ext = build_f0_extractor(SR, HOP, cfg)
+        backend = ext.backends[0]
+        batched = backend.compute_batch(tone, SR)
+        for i in range(2):
+            single = backend.compute(tone[i], SR)
+            n = min(len(single), batched.shape[1])
+            np.testing.assert_allclose(batched[i, :n], single[:n], atol=1e-3)
+
+
+def test_extractor_accepts_dataset_params_shape():
+    """A dataset_params-shaped dict ({'f0_params': ...}) configures the
+    chain instead of silently falling back to defaults."""
+    cfg = {"f0_params": {"backend_order": ["jax_yin"], "backends": {"jax_yin": {"enabled": True}}}}
+    ext = build_f0_extractor(SR, HOP, cfg)
+    assert [b.name for b in ext.backends] == ["jax_yin"]
