@@ -42,10 +42,17 @@ def _bench_train_step(
     from pitchextractor_tpu.parallel import make_mesh
     from pitchextractor_tpu.train import Trainer, build_optimizer
 
+    # bf16 conv-trunk activations (model_params.activation_dtype) are the
+    # training default; PEX_CONV_F32=1 opts back into the f32 trunk for A/B
+    from pitchextractor_tpu.models import activation_dtype_from
+
     model = JDCNet(
         num_class=1,
         sequence_model_config=seq_cfg
         or {"model_type": "bilstm", "num_layers": 4, "dropout": 0.1},
+        dtype=None
+        if os.environ.get("PEX_CONV_F32")
+        else activation_dtype_from("bf16"),
     )
     tx, schedule = build_optimizer(
         {

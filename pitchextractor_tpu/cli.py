@@ -95,9 +95,12 @@ def run(config_path: str, max_steps=None) -> int:
     )
 
     model_config = config.get("model_params", {})
+    from .models import activation_dtype_from
+
     model = JDCNet(
         num_class=model_config.get("num_class", 1),  # 1 => F0 regression
         sequence_model_config=model_config.get("sequence_model", {}),
+        dtype=activation_dtype_from(model_config.get("activation_dtype")),
     )
 
     scheduler_params = {

@@ -403,6 +403,9 @@ def load_model(
     if num_class is None:
         num_class = int(model_params.get("num_class", 1))
 
+    # Inference deliberately ignores model_params.activation_dtype: the bf16
+    # trunk is a *training* throughput knob; eval/labeling numerics stay f32
+    # (checkpoint params are f32 either way, so this is always valid).
     model = JDCNet(
         num_class=num_class,
         sequence_model_config=model_params.get("sequence_model", {}) or {},

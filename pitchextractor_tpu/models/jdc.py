@@ -37,6 +37,22 @@ from .init import kaiming_uniform, xavier_normal, zeros
 from .sequence import _lstm_use_pallas, sequence_model_from_config
 
 
+def activation_dtype_from(name):
+    """Map a config string (``model_params.activation_dtype``) to a dtype.
+
+    Accepts ``bfloat16``/``bf16`` (the TPU mixed-activation trunk), ``float32``/
+    ``fp32``/empty (reference numerics).  New config key — the reference
+    (model.py) is implicitly fp32 throughout."""
+    if not name:
+        return None
+    key = str(name).lower()
+    if key in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if key in ("float32", "fp32", "f32"):
+        return None
+    raise ValueError(f"unsupported activation_dtype: {name!r}")
+
+
 def _max_pool_freq(x, w: int):
     """Non-overlapping MaxPool(1, w) on the frequency axis of NHWC input.
 
@@ -63,13 +79,14 @@ class ConvBlock(nn.Module):
     """Input conv block (reference model.py:23-28)."""
 
     leaky_relu_slope: float = 0.01
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(x)
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         x = _leaky_relu(x, self.leaky_relu_slope)
-        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv2")(x)
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="conv2")(x)
         return x
 
 
@@ -79,6 +96,7 @@ class ResBlock(nn.Module):
 
     out_channels: int
     leaky_relu_slope: float = 0.01
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -86,18 +104,18 @@ class ResBlock(nn.Module):
         downsample = in_channels != self.out_channels
 
         # BN / LReLU / MaxPool(1,2) on the frequency axis
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pre_bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="pre_bn")(x)
         x = _leaky_relu(x, self.leaky_relu_slope)
         x = _max_pool_freq(x, 2)
 
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv1")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(h)
         h = _leaky_relu(h, self.leaky_relu_slope)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, name="conv2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="conv2")(h)
 
         if downsample:
             shortcut = nn.Conv(
-                self.out_channels, (1, 1), use_bias=False, kernel_init=xavier_normal, name="conv1by1"
+                self.out_channels, (1, 1), use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="conv1by1"
             )(x)
         else:
             shortcut = x
@@ -114,6 +132,15 @@ class JDCNet(nn.Module):
     num_class: int = 1
     leaky_relu_slope: float = 0.01
     sequence_model_config: Optional[Dict[str, Any]] = None
+    # Activation dtype for the convolutional trunk (None = float32).
+    # ``jnp.bfloat16`` halves the HBM bytes of the conv + elementwise
+    # categories, which the leg-9 trace measured as 50 + 36 ms of the
+    # 113 ms device step at f32 (443 / 666 GB/s — bandwidth-bound).
+    # Params stay float32 (flax casts per-call); BN statistics stay
+    # float32 (flax ``_compute_stats`` forces f32 reductions); the
+    # sequence heads and output Denses always run f32 (the Pallas LSTM
+    # kernels bf16 their gate matmuls internally).
+    dtype: Optional[Any] = None
 
     def setup(self):
         # setup-defined heads so the fused cross-head recurrence can reach
@@ -162,15 +189,17 @@ class JDCNet(nn.Module):
         slope = self.leaky_relu_slope
         seq_len = x.shape[1]
         B = x.shape[0]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        convblock_out = ConvBlock(slope, name="conv_block")(x, train=train)
+        convblock_out = ConvBlock(slope, dtype=self.dtype, name="conv_block")(x, train=train)
 
-        res1 = ResBlock(128, slope, name="res_block1")(convblock_out, train=train)
-        res2 = ResBlock(192, slope, name="res_block2")(res1, train=train)
-        res3 = ResBlock(256, slope, name="res_block3")(res2, train=train)
+        res1 = ResBlock(128, slope, dtype=self.dtype, name="res_block1")(convblock_out, train=train)
+        res2 = ResBlock(192, slope, dtype=self.dtype, name="res_block2")(res1, train=train)
+        res3 = ResBlock(256, slope, dtype=self.dtype, name="res_block3")(res2, train=train)
 
         # pool block: BN + LReLU + MaxPool(1,4) + Dropout(0.5)
-        pool = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="pool_bn")(res3)
+        pool = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="pool_bn")(res3)
         pool = _leaky_relu(pool, slope)
         pool = _max_pool_freq(pool, 4)
         pool = nn.Dropout(0.5, deterministic=not train, name="pool_dropout")(pool)
@@ -188,11 +217,17 @@ class JDCNet(nn.Module):
         mp3 = _max_pool_freq(res2, 10)
         concat = jnp.concatenate([mp1, mp2, mp3, pool], axis=-1)  # (B, T, 2, 640)
 
-        det = nn.Conv(256, (1, 1), use_bias=False, kernel_init=xavier_normal, name="detector_conv")(concat)
-        det = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="detector_bn")(det)
+        det = nn.Conv(256, (1, 1), use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="detector_conv")(concat)
+        det = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="detector_bn")(det)
         det = _leaky_relu(det, slope)
         det = nn.Dropout(0.5, deterministic=not train, name="detector_dropout")(det)
         detector_in = jnp.swapaxes(det, 2, 3).reshape((B, seq_len, -1))  # (B, T, 512)
+
+        # sequence heads + output Denses always run float32 (the Pallas
+        # recurrence bf16s its gate matmuls internally; the loss wants f32)
+        if self.dtype is not None:
+            classifier_in = classifier_in.astype(jnp.float32)
+            detector_in = detector_in.astype(jnp.float32)
 
         # ---------------- sequence heads ----------------
         clf = self.sequence_classifier

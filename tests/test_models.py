@@ -156,3 +156,61 @@ def test_param_count_reference_scale():
     variables, _ = _init(model, B=1, T=8)
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 10_000_000 < n < 40_000_000, n
+
+
+def test_bf16_trunk_matches_f32_forward():
+    """model_params.activation_dtype=bf16: params/BN-stats stay f32, outputs
+    stay f32, and the forward agrees with the f32 trunk to bf16 tolerance
+    (the trunk is 7 convs deep; cents-level F0 agreement is gated at the
+    eval level, here we gate raw closeness)."""
+    from pitchextractor_tpu.models import activation_dtype_from
+
+    seq = {"model_type": "bilstm", "num_layers": 2, "hidden_size": 64}
+    f32 = JDCNet(num_class=1, sequence_model_config=seq)
+    bf16 = JDCNet(num_class=1, sequence_model_config=seq, dtype=activation_dtype_from("bf16"))
+
+    variables, _ = _init(f32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 48, 80, 1)).astype(np.float32))
+
+    ref_f0, ref_v = f32.apply(variables, x, train=False)
+    got_f0, got_v = bf16.apply(variables, x, train=False)  # same f32 params
+    assert got_f0.dtype == jnp.float32 and got_v.dtype == jnp.float32
+    # bf16 has ~3 decimal digits; through the trunk expect ~1e-2 relative
+    scale = float(jnp.max(jnp.abs(ref_f0))) + 1e-6
+    assert float(jnp.max(jnp.abs(got_f0 - ref_f0))) / scale < 5e-2
+    vscale = float(jnp.max(jnp.abs(ref_v))) + 1e-6
+    assert float(jnp.max(jnp.abs(got_v - ref_v))) / vscale < 5e-2
+
+
+def test_bf16_trunk_train_step_and_stats_dtypes():
+    """One init+apply with mutable batch_stats in train mode: running stats
+    and params must stay float32 so checkpoints are dtype-identical."""
+    from pitchextractor_tpu.models import activation_dtype_from
+
+    model = JDCNet(
+        num_class=1,
+        sequence_model_config={"model_type": "bilstm", "num_layers": 2, "hidden_size": 64},
+        dtype=activation_dtype_from("bfloat16"),
+    )
+    x = jnp.zeros((2, 48, 80, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    (f0, v), updated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert f0.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(updated["batch_stats"]):
+        assert leaf.dtype == jnp.float32
+
+
+def test_activation_dtype_from_mapping():
+    from pitchextractor_tpu.models import activation_dtype_from
+
+    assert activation_dtype_from(None) is None
+    assert activation_dtype_from("") is None
+    assert activation_dtype_from("float32") is None
+    assert activation_dtype_from("bf16") == jnp.bfloat16
+    with pytest.raises(ValueError):
+        activation_dtype_from("fp8")

@@ -30,8 +30,8 @@ torch = pytest.importorskip("torch")
 TINY_SEQ = {"model_type": "bilstm", "num_layers": 1, "hidden_size": 32}
 
 
-def _tiny_trainer(train_batches, val_batches, mesh=None, **kwargs):
-    model = JDCNet(num_class=1, sequence_model_config=TINY_SEQ)
+def _tiny_trainer(train_batches, val_batches, mesh=None, model_dtype=None, **kwargs):
+    model = JDCNet(num_class=1, sequence_model_config=TINY_SEQ, dtype=model_dtype)
     steps_per_epoch = max(len(train_batches), 1)
     tx, schedule = build_optimizer(
         {
@@ -145,6 +145,21 @@ def test_prefetch_placed_order_and_run_accepts_placed():
     assert np.isfinite(float(metrics["loss"]))
     # empty iterable: no yields, no hang
     assert list(trainer._prefetch_placed([])) == []
+
+
+def test_training_reduces_loss_bf16_trunk():
+    """Training with the bf16 conv-trunk activations (the TPU training
+    default) must converge like the f32 trunk: loss decreases across epochs
+    and checkpoints stay f32 (params never change dtype)."""
+    batches = _synthetic_batches(n_batches=2)
+    trainer = _tiny_trainer(batches, batches[:1], model_dtype=jnp.bfloat16)
+    trainer.use_mixed_precision = True
+    first = trainer._train_epoch()
+    for _ in range(2):
+        last = trainer._train_epoch()
+    assert last["train/loss"] < first["train/loss"]
+    for leaf in jax.tree_util.tree_leaves(trainer.state.params):
+        assert leaf.dtype == jnp.float32
 
 
 def test_train_step_metrics_finite_with_remat_and_bf16():

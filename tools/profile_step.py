@@ -46,7 +46,15 @@ def main():
         "num_layers": 4,
         "dropout": 0.1,
     }
-    model = JDCNet(num_class=1, sequence_model_config=cfg)
+    from pitchextractor_tpu.models import activation_dtype_from
+
+    model = JDCNet(
+        num_class=1,
+        sequence_model_config=cfg,
+        dtype=None
+        if os.environ.get("PEX_CONV_F32")
+        else activation_dtype_from("bf16"),
+    )
     tx, schedule = build_optimizer(
         {
             "params": None,
