@@ -80,6 +80,27 @@ def _kernel_weight_dtype():
     return jnp.bfloat16 if _use_bf16_matmuls() and not _INTERPRET else jnp.float32
 
 
+def _use_bf16_streams() -> bool:
+    """bf16 HBM streams for the *training* recurrence — default on.
+
+    The leg-9 trace measured ~10 ms/step of f32 glue around the training
+    kernels (xp4 layout copies 2.5 ms, pack-building fusions 3.3 ms, BPTT
+    custom-call reads ~5 ms) that exists only to feed gradient
+    recomputation.  Storing the x-projection input, the h/c histories, and
+    the backward pack in bf16 halves those bytes.  The recurrence itself is
+    unchanged: the VMEM h/c carry registers and all accumulations stay f32,
+    and the inference kernel keeps full-f32 streams (eval numerics are
+    untouched).  ``PEX_LSTM_STREAM_BF16=0`` opts out."""
+    import os
+
+    flag = os.environ.get("PEX_LSTM_STREAM_BF16", "1")
+    return flag not in ("0", "false", "off", "")
+
+
+def _stream_dtype():
+    return jnp.bfloat16 if _use_bf16_streams() and not _INTERPRET else jnp.float32
+
+
 @jax.custom_vjp
 def _lstm_recurrence(x_proj, w_hh):
     # inference path (no grad traced): skip the cell-state history entirely
@@ -88,11 +109,15 @@ def _lstm_recurrence(x_proj, w_hh):
 
 def _lstm_fwd(x_proj, w_hh):
     hs, cs = _multichain_kernel_call(x_proj[:, None], w_hh[None], save_carry=True)
-    return hs[:, 0], (x_proj, w_hh, hs[:, 0], cs[:, 0])
+    # residuals in the (possibly bf16) stream dtype; primal output stays f32
+    res = (x_proj.astype(hs.dtype), w_hh, hs[:, 0], cs[:, 0])
+    return hs[:, 0].astype(x_proj.dtype), res
 
 
 def _lstm_bwd_core(x_proj, w_hh, hs, cs, g):
     """BPTT: batched gate recomputation + reverse scan for the carry chain."""
+    # residuals may arrive in the bf16 stream dtype; the scan carries f32
+    x_proj, hs, cs, g = (a.astype(jnp.float32) for a in (x_proj, hs, cs, g))
     T, B, H = hs.shape
     zeros = jnp.zeros((1, B, H), hs.dtype)
     h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
@@ -205,8 +230,8 @@ def _multichain_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf,
             h_dma(slot, i - 2).wait()
             c_dma(slot, i - 2).wait()
 
-        hbuf[slot] = h[:]
-        cbuf[slot] = c[:]
+        hbuf[slot] = h[:].astype(hbuf.dtype)
+        cbuf[slot] = c[:].astype(cbuf.dtype)
         h_dma(slot, i).start()
         c_dma(slot, i).start()
         return ()
@@ -223,12 +248,18 @@ def _multichain_kernel(xp_ref, whh_ref, h_out_ref, c_out_ref, xbuf, hbuf, cbuf,
 
 
 def _advance_chains(xbuf, whh_ref, h, c, slot, C):
-    """One LSTM step for all C chains (static unroll); updates h/c in place."""
+    """One LSTM step for all C chains (static unroll); updates h/c in place.
+
+    ``xbuf`` may hold the bf16 input stream; the gate math and the h/c
+    carry registers are always f32 (the dot accumulates f32 either way)."""
     H = h.shape[-1]
     for k in range(C):
         w = whh_ref[k]
         hk = h[k].astype(w.dtype) if w.dtype != h.dtype else h[k]
-        gates = xbuf[slot, k] + jnp.dot(hk, w, preferred_element_type=jnp.float32)
+        xk = xbuf[slot, k]
+        if xk.dtype != jnp.float32:
+            xk = xk.astype(jnp.float32)
+        gates = xk + jnp.dot(hk, w, preferred_element_type=jnp.float32)
         gi = jax.nn.sigmoid(gates[:, :H])
         gf = jax.nn.sigmoid(gates[:, H : 2 * H])
         gg = jnp.tanh(gates[:, 2 * H : 3 * H])
@@ -296,23 +327,27 @@ def _multichain_kernel_call(x_proj, w_hh, save_carry):
         ],
         interpret=_INTERPRET,
     )
-    args = (x_proj.astype(jnp.float32), w_hh.astype(_kernel_weight_dtype()))
     if save_carry:
+        # training forward: the x input and the h/c history streams ride HBM
+        # in the stream dtype (bf16 by default); carry registers stay f32
+        sd = _stream_dtype()
+        ss = jnp.dtype(sd).itemsize
+        args = (x_proj.astype(sd), w_hh.astype(_kernel_weight_dtype()))
         kernel = functools.partial(_multichain_kernel, T=T, C=C)
         return pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
-                jax.ShapeDtypeStruct((T, C, B, H), jnp.float32),
+                jax.ShapeDtypeStruct((T, C, B, H), sd),
+                jax.ShapeDtypeStruct((T, C, B, H), sd),
             ),
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, C, B, H4), jnp.float32),
-                pltpu.VMEM((2, C, B, H), jnp.float32),
-                pltpu.VMEM((2, C, B, H), jnp.float32),
+                pltpu.VMEM((2, C, B, H4), sd),
+                pltpu.VMEM((2, C, B, H), sd),
+                pltpu.VMEM((2, C, B, H), sd),
                 pltpu.VMEM((C, B, H), jnp.float32),
                 pltpu.VMEM((C, B, H), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -321,11 +356,13 @@ def _multichain_kernel_call(x_proj, w_hh, save_carry):
             ],
             cost_estimate=pl.CostEstimate(
                 flops=2 * T * C * B * H * H4,
-                bytes_accessed=(T * C * B * H4 + 2 * T * C * B * H + C * H * H4) * 4,
+                bytes_accessed=(T * C * B * H4 + 2 * T * C * B * H) * ss
+                + C * H * H4 * 4,
                 transcendentals=4 * T * C * B * H,
             ),
             **common,
         )(*args)
+    args = (x_proj.astype(jnp.float32), w_hh.astype(_kernel_weight_dtype()))
     kernel = functools.partial(_multichain_inference_kernel, T=T, C=C)
     return pl.pallas_call(
         kernel,
@@ -356,7 +393,9 @@ def _bilstm_recurrence(x_proj2, w_hh2):
 
 def _bilstm_fwd(x_proj2, w_hh2):
     hs, cs = _multichain_kernel_call(x_proj2, w_hh2, save_carry=True)
-    return hs, (x_proj2, w_hh2, hs, cs)
+    # residuals kept in the (possibly bf16) stream dtype; primal output f32
+    res = (x_proj2.astype(hs.dtype), w_hh2, hs, cs)
+    return hs.astype(x_proj2.dtype), res
 
 
 def _bptt_kernel(pack_ref, whhT_ref, dgates_ref, pbuf, obuf, dc, dh_rec,
@@ -399,6 +438,8 @@ def _bptt_kernel(pack_ref, whhT_ref, dgates_ref, pbuf, obuf, dc, dh_rec,
         H = dc.shape[-1]
         for c in range(C):  # static unroll over chains
             pk = pbuf[slot, c]
+            if pk.dtype != jnp.float32:  # bf16 input stream; f32 gate math
+                pk = pk.astype(jnp.float32)
             g_t = pk[:, 0 * H : 1 * H]
             gi = pk[:, 1 * H : 2 * H]
             gf = pk[:, 2 * H : 3 * H]
@@ -447,7 +488,7 @@ def _bptt_kernel_call(pack, w_hh_T):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, C, B, H7), jnp.float32),
+            pltpu.VMEM((2, C, B, H7), pack.dtype),
             pltpu.VMEM((2, C, B, 4 * H), jnp.float32),
             pltpu.VMEM((C, B, H), jnp.float32),
             pltpu.VMEM((C, B, H), jnp.float32),
@@ -456,11 +497,12 @@ def _bptt_kernel_call(pack, w_hh_T):
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * C * B * 4 * H * H,
-            bytes_accessed=(T * C * B * H7 + T * C * B * 4 * H + C * 4 * H * H) * 4,
+            bytes_accessed=T * C * B * H7 * pack.dtype.itemsize
+            + (T * C * B * 4 * H + C * 4 * H * H) * 4,
             transcendentals=0,
         ),
         interpret=_INTERPRET,
-    )(pack.astype(jnp.float32), w_hh_T.astype(_kernel_weight_dtype()))
+    )(pack, w_hh_T.astype(_kernel_weight_dtype()))
 
 
 def _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g):
@@ -470,24 +512,34 @@ def _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g):
     Returns (dx_proj (T,C,B,4H), dw_hh (C,H,4H)).
     """
     T, C, B, H = hs.shape
-    zeros = jnp.zeros((1, C, B, H), hs.dtype)
+    sd = hs.dtype  # stream dtype of the residuals (bf16 by default)
+    zeros = jnp.zeros((1, C, B, H), sd)
     h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
     c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
 
     # batched gate recomputation — one big MXU matmul over T·C·B rows
-    gates = x_proj2 + jnp.einsum("tcbh,chg->tcbg", h_prev, w_hh2)
+    # (f32 gate math; matches the forward kernel's bf16-operand dot)
+    gates = x_proj2.astype(jnp.float32) + jnp.einsum(
+        "tcbh,chg->tcbg", h_prev, w_hh2, preferred_element_type=jnp.float32
+    )
     gi = jax.nn.sigmoid(gates[..., :H])
     gf = jax.nn.sigmoid(gates[..., H : 2 * H])
     gg = jnp.tanh(gates[..., 2 * H : 3 * H])
     go = jax.nn.sigmoid(gates[..., 3 * H :])
-    tanh_c = jnp.tanh(cs)
+    tanh_c = jnp.tanh(cs.astype(jnp.float32))
 
-    pack = jnp.concatenate([g, gi, gf, gg, go, tanh_c, c_prev], axis=-1)
+    # the pack rides HBM once out and once back in through the reverse
+    # kernel — store it in the stream dtype
+    pack = jnp.concatenate(
+        [p.astype(sd) for p in (g, gi, gf, gg, go, tanh_c, c_prev)], axis=-1
+    )
     w_hh_T = jnp.swapaxes(w_hh2, 1, 2)  # (C, 4H, H)
     dgates = _bptt_kernel_call(pack, w_hh_T)  # (T, C, B, 4H)
 
     dx_proj = dgates
-    dw_hh = jnp.einsum("tcbh,tcbg->chg", h_prev, dgates)
+    dw_hh = jnp.einsum(
+        "tcbh,tcbg->chg", h_prev, dgates, preferred_element_type=jnp.float32
+    )
     return dx_proj, dw_hh
 
 
