@@ -57,10 +57,10 @@ def _max_pool_freq(x, w: int):
     """Non-overlapping MaxPool(1, w) on the frequency axis of NHWC input.
 
     Forward-identical to ``nn.max_pool(x, (1, w), strides=(1, w))`` (the
-    uncovered tail when F % w != 0 is dropped either way), but the
-    reshape+reduce-max formulation gives XLA an eq-mask backward instead of
-    ``select-and-scatter`` — the latter measured 7.3 ms/step across the 7
-    pools on TPU (RESULTS.md leg-7 trace).  Tie gradients split among
+    uncovered tail when F % w != 0 is dropped either way); the
+    reshape+reduce-max forward fuses into the surrounding BN/LReLU chain
+    (vs 7.3 ms/step of ``select-and-scatter`` backward, RESULTS.md leg-7
+    trace).  Tie gradients split among
     maxima instead of torch's first-index rule (subgradient choice only;
     forward parity is exact)."""
     f = x.shape[2]
@@ -154,19 +154,21 @@ class JDCNet(nn.Module):
         per layer (4 chains: clf-fwd, clf-bwd, det-fwd, det-bwd) — amortises
         the sequential per-step overhead across all four recurrences."""
         from ..ops.lstm_pallas import multichain_lstm_pallas
+        from .sequence import _proj_bf16_active
 
         clf = self.sequence_classifier
         det = self.sequence_detector
         h_c, h_d = x_clf, x_det
         L = clf.num_layers
         lstm_dropout = clf.dropout if L > 1 else 0.0
+        pb = _proj_bf16_active(train)
         for k in range(L):
             cf, cb = clf.bilstm.layer_pair(k)
             df, db = det.bilstm.layer_pair(k)
-            xp_cf, w_cf = cf(h_c, project_only=True)
-            xp_cb, w_cb = cb(h_c, project_only=True)
-            xp_df, w_df = df(h_d, project_only=True)
-            xp_db, w_db = db(h_d, project_only=True)
+            xp_cf, w_cf = cf(h_c, project_only=True, bf16_proj=pb)
+            xp_cb, w_cb = cb(h_c, project_only=True, bf16_proj=pb)
+            xp_df, w_df = df(h_d, project_only=True, bf16_proj=pb)
+            xp_db, w_db = db(h_d, project_only=True, bf16_proj=pb)
             xp4 = jnp.stack(
                 [xp_cf, jnp.flip(xp_cb, axis=0), xp_df, jnp.flip(xp_db, axis=0)], axis=1
             )  # (T, 4, B, 4H)

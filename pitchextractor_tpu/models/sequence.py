@@ -45,6 +45,16 @@ def _lstm_use_pallas() -> bool:
         return False
 
 
+def _proj_bf16_active(train: bool) -> bool:
+    """bf16 input-projection matmuls: training-path only, TPU only.
+
+    Inference (and therefore the torch forward-parity gate,
+    tests/test_reference_parity.py) keeps the f32 einsum."""
+    from ..ops.lstm_pallas import _use_bf16_proj
+
+    return bool(train) and _use_bf16_proj() and _lstm_use_pallas()
+
+
 class LSTMLayer(nn.Module):
     """One unidirectional LSTM layer over (B, T, D) -> (B, T, H).
 
@@ -57,7 +67,7 @@ class LSTMLayer(nn.Module):
     reverse: bool = False
 
     @nn.compact
-    def __call__(self, x, project_only: bool = False):
+    def __call__(self, x, project_only: bool = False, bf16_proj: bool = False):
         B, T, D = x.shape
         H = self.hidden_size
         # torch LSTM parameter layout: weight_ih (4H, D), weight_hh (4H, H),
@@ -67,8 +77,17 @@ class LSTMLayer(nn.Module):
         b_ih = self.param("b_ih", normal_std1, (4 * H,))
         b_hh = self.param("b_hh", normal_std1, (4 * H,))
 
-        # hoist the input projection out of the scan: one MXU matmul
-        x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
+        # hoist the input projection out of the scan: one MXU matmul.
+        # Training on TPU runs it (and its dx/dW grads) with bf16 operands
+        # and stores the projection stream bf16 (ops/lstm_pallas.py
+        # projection_matmul — ~19 ms/step of f32 matmul fusions in the
+        # leg-10 trace); bias adds and accumulation stay f32.
+        if bf16_proj:
+            from ..ops.lstm_pallas import projection_matmul
+
+            x_proj = (projection_matmul(x, w_ih) + b_ih + b_hh).astype(jnp.bfloat16)
+        else:
+            x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
         x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) time-major
 
         if project_only:
@@ -140,6 +159,7 @@ class BiLSTM(nn.Module):
             and lane_aligned(self.hidden_size)
             and pallas_vmem_fits(2, x.shape[0], self.hidden_size)
         )
+        pb = _proj_bf16_active(train)
         for layer in range(self.num_layers):
             fwd_layer = getattr(self, f"l{layer}_fwd")
             if fused:
@@ -148,16 +168,16 @@ class BiLSTM(nn.Module):
                 from ..ops.lstm_pallas import bilstm_layer_pallas
 
                 bwd_layer = getattr(self, f"l{layer}_bwd")
-                xp_fwd, w_fwd = fwd_layer(h, project_only=True)
-                xp_bwd, w_bwd = bwd_layer(h, project_only=True)
+                xp_fwd, w_fwd = fwd_layer(h, project_only=True, bf16_proj=pb)
+                xp_bwd, w_bwd = bwd_layer(h, project_only=True, bf16_proj=pb)
                 x_proj2 = jnp.stack([xp_fwd, jnp.flip(xp_bwd, axis=0)], axis=1)
                 h = jnp.swapaxes(bilstm_layer_pallas(x_proj2, w_fwd, w_bwd), 0, 1)
             elif self.bidirectional:
-                fwd = fwd_layer(h)
-                bwd = getattr(self, f"l{layer}_bwd")(h)
+                fwd = fwd_layer(h, bf16_proj=pb)
+                bwd = getattr(self, f"l{layer}_bwd")(h, bf16_proj=pb)
                 h = jnp.concatenate([fwd, bwd], axis=-1)
             else:
-                h = fwd_layer(h)
+                h = fwd_layer(h, bf16_proj=pb)
             if layer < self.num_layers - 1 and self.dropout > 0:
                 h = self.inter_dropout(h, deterministic=not train)
         return h

@@ -101,6 +101,63 @@ def _stream_dtype():
     return jnp.bfloat16 if _use_bf16_streams() and not _INTERPRET else jnp.float32
 
 
+def _use_bf16_proj() -> bool:
+    """bf16 input-projection matmuls for *training* — default on.
+
+    The leg-10 trace put ~19 ms of the 78 ms device step in f32 matmuls
+    around the recurrence: the hoisted ``x @ W_ih`` projections (49-90
+    TF/s at f32), their weight grads (``f32[768,1536]`` fusions), and the
+    f32 ``(T, C, B, 4H)`` packs feeding the kernels.  ``projection_matmul``
+    below runs all three matmuls (fwd, dx, dW) with bf16 operands and f32
+    accumulation — the same mixed-precision contract as the in-kernel gate
+    matmuls — and the projection output is stored bf16 so the stack/flip
+    glue and the kernel input stream halve too.  Training-path only: the
+    callers (models/sequence.py) gate on ``train=True`` so inference and
+    the torch-parity forward stay full-f32.  ``PEX_LSTM_PROJ_BF16=0`` opts
+    out."""
+    import os
+
+    flag = os.environ.get("PEX_LSTM_PROJ_BF16", "1")
+    return flag not in ("0", "false", "off", "")
+
+
+@jax.custom_vjp
+def projection_matmul(x, w):
+    """``einsum("btd,dh->bth")`` with bf16 operands / f32 accumulation on
+    both the forward and the two backward matmuls (dx, dW).
+
+    A plain ``jnp.einsum`` on cast operands only fixes the forward: autodiff
+    re-derives dx/dW with the f32 cotangent and XLA upcasts the bf16 operand,
+    so the backward matmuls stay f32 (the leg-10 trace's ``fusion.611-633``).
+    The custom VJP forces bf16 operands on all three.  Accumulation is f32
+    (``preferred_element_type``); outputs are f32."""
+    return jnp.einsum(
+        "btd,dh->bth",
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _projection_matmul_fwd(x, w):
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    y = jnp.einsum("btd,dh->bth", xb, wb, preferred_element_type=jnp.float32)
+    # residuals kept bf16: halves the saved-activation bytes too
+    return y, (xb, wb)
+
+
+def _projection_matmul_bwd(res, g):
+    xb, wb = res
+    gb = g.astype(jnp.bfloat16)
+    dx = jnp.einsum("bth,dh->btd", gb, wb, preferred_element_type=jnp.float32)
+    dw = jnp.einsum("btd,bth->dh", xb, gb, preferred_element_type=jnp.float32)
+    return dx, dw
+
+
+projection_matmul.defvjp(_projection_matmul_fwd, _projection_matmul_bwd)
+
+
 @jax.custom_vjp
 def _lstm_recurrence(x_proj, w_hh):
     # inference path (no grad traced): skip the cell-state history entirely
@@ -109,9 +166,12 @@ def _lstm_recurrence(x_proj, w_hh):
 
 def _lstm_fwd(x_proj, w_hh):
     hs, cs = _multichain_kernel_call(x_proj[:, None], w_hh[None], save_carry=True)
-    # residuals in the (possibly bf16) stream dtype; primal output stays f32
-    res = (x_proj.astype(hs.dtype), w_hh, hs[:, 0], cs[:, 0])
-    return hs[:, 0].astype(x_proj.dtype), res
+    # residuals in the (possibly bf16) stream dtype; primal output stays f32.
+    # The zero-size marker records the primal input dtype (bf16 under the
+    # projection flag, f32 otherwise) so the backward can emit dx directly
+    # in that dtype.
+    res = (x_proj.astype(hs.dtype), w_hh, hs[:, 0], cs[:, 0], jnp.zeros((0,), x_proj.dtype))
+    return hs[:, 0].astype(jnp.float32), res
 
 
 def _lstm_bwd_core(x_proj, w_hh, hs, cs, g):
@@ -166,13 +226,15 @@ def _use_pallas_bptt() -> bool:
 
 
 def _lstm_bwd(residuals, g):
-    x_proj, w_hh, hs, cs = residuals
+    x_proj, w_hh, hs, cs, dt_marker = residuals
     if _use_pallas_bptt() or _INTERPRET:
         dx, dw = _multichain_bwd_pallas(
-            x_proj[:, None], w_hh[None], hs[:, None], cs[:, None], g[:, None]
+            x_proj[:, None], w_hh[None], hs[:, None], cs[:, None], g[:, None],
+            out_dtype=dt_marker.dtype,
         )
         return dx[:, 0], dw[0]
-    return _lstm_bwd_core(x_proj, w_hh, hs, cs, g)
+    dx, dw = _lstm_bwd_core(x_proj, w_hh, hs, cs, g)
+    return dx.astype(dt_marker.dtype), dw
 
 
 _lstm_recurrence.defvjp(_lstm_fwd, _lstm_bwd)
@@ -393,9 +455,10 @@ def _bilstm_recurrence(x_proj2, w_hh2):
 
 def _bilstm_fwd(x_proj2, w_hh2):
     hs, cs = _multichain_kernel_call(x_proj2, w_hh2, save_carry=True)
-    # residuals kept in the (possibly bf16) stream dtype; primal output f32
-    res = (x_proj2.astype(hs.dtype), w_hh2, hs, cs)
-    return hs.astype(x_proj2.dtype), res
+    # residuals kept in the (possibly bf16) stream dtype; primal output f32;
+    # the zero-size marker records the primal input dtype for the backward
+    res = (x_proj2.astype(hs.dtype), w_hh2, hs, cs, jnp.zeros((0,), x_proj2.dtype))
+    return hs.astype(jnp.float32), res
 
 
 def _bptt_kernel(pack_ref, whhT_ref, dgates_ref, pbuf, obuf, dc, dh_rec,
@@ -456,7 +519,7 @@ def _bptt_kernel(pack_ref, whhT_ref, dgates_ref, pbuf, obuf, dc, dh_rec,
             dgg = dct * gi * (1.0 - gg * gg)
             dgates = jnp.concatenate([di, df, dgg, do], axis=-1)
 
-            obuf[slot, c] = dgates
+            obuf[slot, c] = dgates.astype(obuf.dtype)
             wT = whhT_ref[c]
             dg = dgates.astype(wT.dtype) if wT.dtype != dgates.dtype else dgates
             dh_rec[c] = jnp.dot(dg, wT, preferred_element_type=jnp.float32)
@@ -474,14 +537,20 @@ def _bptt_kernel(pack_ref, whhT_ref, dgates_ref, pbuf, obuf, dc, dh_rec,
     out_dma(lax.rem(T - 1, 2), 0).wait()
 
 
-def _bptt_kernel_call(pack, w_hh_T):
-    """pack: (T, C, B, 7H); w_hh_T: (C, 4H, H) -> dgates (T, C, B, 4H)."""
+def _bptt_kernel_call(pack, w_hh_T, out_dtype=jnp.float32):
+    """pack: (T, C, B, 7H); w_hh_T: (C, 4H, H) -> dgates (T, C, B, 4H).
+
+    ``out_dtype`` is the dgates stream dtype: when the kernel input (the
+    primal x_proj) was bf16, the dx it produces rides HBM in bf16 too —
+    the downstream dW_ih / dx matmuls (projection_matmul's VJP) consume
+    bf16 operands anyway.  The in-kernel dgates math stays f32."""
     T, C, B, H7 = pack.shape
     H = H7 // 7
     kernel = functools.partial(_bptt_kernel, T=T, C=C)
+    out_size = jnp.dtype(out_dtype).itemsize
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, C, B, 4 * H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, C, B, 4 * H), out_dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -489,7 +558,7 @@ def _bptt_kernel_call(pack, w_hh_T):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, C, B, H7), pack.dtype),
-            pltpu.VMEM((2, C, B, 4 * H), jnp.float32),
+            pltpu.VMEM((2, C, B, 4 * H), out_dtype),
             pltpu.VMEM((C, B, H), jnp.float32),
             pltpu.VMEM((C, B, H), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -498,18 +567,19 @@ def _bptt_kernel_call(pack, w_hh_T):
         cost_estimate=pl.CostEstimate(
             flops=2 * T * C * B * 4 * H * H,
             bytes_accessed=T * C * B * H7 * pack.dtype.itemsize
-            + (T * C * B * 4 * H + C * 4 * H * H) * 4,
+            + T * C * B * 4 * H * out_size
+            + C * 4 * H * H * 4,
             transcendentals=0,
         ),
         interpret=_INTERPRET,
     )(pack, w_hh_T.astype(_kernel_weight_dtype()))
 
 
-def _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g):
+def _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g, out_dtype=jnp.float32):
     """Pallas BPTT for the multichain recurrence.
 
     x_proj2/hs/cs/g: (T, C, B, ·); w_hh2: (C, H, 4H).
-    Returns (dx_proj (T,C,B,4H), dw_hh (C,H,4H)).
+    Returns (dx_proj (T,C,B,4H) in ``out_dtype``, dw_hh (C,H,4H) f32).
     """
     T, C, B, H = hs.shape
     sd = hs.dtype  # stream dtype of the residuals (bf16 by default)
@@ -534,7 +604,7 @@ def _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g):
         [p.astype(sd) for p in (g, gi, gf, gg, go, tanh_c, c_prev)], axis=-1
     )
     w_hh_T = jnp.swapaxes(w_hh2, 1, 2)  # (C, 4H, H)
-    dgates = _bptt_kernel_call(pack, w_hh_T)  # (T, C, B, 4H)
+    dgates = _bptt_kernel_call(pack, w_hh_T, out_dtype=out_dtype)  # (T, C, B, 4H)
 
     dx_proj = dgates
     dw_hh = jnp.einsum(
@@ -544,14 +614,14 @@ def _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g):
 
 
 def _bilstm_bwd(residuals, g):
-    x_proj2, w_hh2, hs, cs = residuals
+    x_proj2, w_hh2, hs, cs, dt_marker = residuals
     if _use_pallas_bptt() or _INTERPRET:
-        return _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g)
+        return _multichain_bwd_pallas(x_proj2, w_hh2, hs, cs, g, out_dtype=dt_marker.dtype)
     to_chain = lambda a: jnp.swapaxes(a, 0, 1)  # (T,C,...) -> (C,T,...)
     dx, dw = jax.vmap(_lstm_bwd_core)(
         to_chain(x_proj2), w_hh2, to_chain(hs), to_chain(cs), to_chain(g)
     )
-    return jnp.swapaxes(dx, 0, 1), dw
+    return jnp.swapaxes(dx, 0, 1).astype(dt_marker.dtype), dw
 
 
 _bilstm_recurrence.defvjp(_bilstm_fwd, _bilstm_bwd)

@@ -195,3 +195,60 @@ def test_jdcnet_fused4_gradients(monkeypatch):
     g_fused = jax.grad(lambda p: loss(p, True))(variables["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g_fused), jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_projection_matmul_value_and_grads():
+    """bf16-operand projection matmul (custom VJP): forward and both grads
+    must match the f32 einsum to bf16 operand-rounding tolerance."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 12, 24)), jnp.float32)
+    w = jnp.asarray(0.3 * rng.standard_normal((24, 32)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((2, 12, 32)), jnp.float32)
+
+    def loss(fn, x, w):
+        y = fn(x, w)
+        return jnp.sum((y - t) ** 2)
+
+    ref_fn = lambda x, w: jnp.einsum("btd,dh->bth", x, w)
+    ref_v, (ref_dx, ref_dw) = jax.value_and_grad(
+        lambda x, w: loss(ref_fn, x, w), argnums=(0, 1)
+    )(x, w)
+    v, (dx, dw) = jax.value_and_grad(
+        lambda x, w: loss(m.projection_matmul, x, w), argnums=(0, 1)
+    )(x, w)
+
+    def cosine(a, b):
+        a = np.asarray(a).ravel()
+        b = np.asarray(b).ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert abs(float(v) - float(ref_v)) / abs(float(ref_v)) < 2e-2
+    assert cosine(dx, ref_dx) > 0.999
+    assert cosine(dw, ref_dw) > 0.999
+
+
+def test_bf16_proj_training_path(monkeypatch):
+    """With the projection flag forced on, the training-path BiLSTM grads
+    must track the f32 path (bf16 operand rounding only) and the plumbing
+    (bf16 x_proj stream, dtype-marker residuals, bf16 dgates) must compose."""
+    from pitchextractor_tpu.models.sequence import BiLSTM
+    import pitchextractor_tpu.models.sequence as seq
+
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 12, 24)), jnp.float32)
+    model = BiLSTM(hidden_size=16, num_layers=2, dropout=0.0)
+    monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: True)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(params, bf16):
+        monkeypatch.setattr(seq, "_proj_bf16_active", lambda train: bf16 and train)
+        out = model.apply({"params": params}, x, train=True)
+        return jnp.mean(out**2)
+
+    v_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(variables["params"])
+    v_bf, g_bf = jax.value_and_grad(lambda p: loss(p, True))(variables["params"])
+    assert abs(float(v_bf) - float(v_ref)) / max(abs(float(v_ref)), 1e-9) < 3e-2
+
+    a = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g_bf)])
+    b = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g_ref)])
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.995
