@@ -183,6 +183,29 @@ def test_shipped_crepe_large_full_band():
         assert np.median(cents_err) < 50, (freq, float(np.median(cents_err)))
 
 
+SHIPPED_FULL = "weights/crepe_full.npz"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isfile(SHIPPED_FULL), reason="full weights absent"
+)
+def test_shipped_crepe_full_full_band():
+    """CREPE-full: same 65-1000 Hz median-error gate as small/medium/large
+    (reference torchcrepe capacity ladder tops out at 'full',
+    f0_backends.py:184)."""
+    labeler = CrepeLabeler(capacity="full", weights_path=SHIPPED_FULL)
+    t = np.arange(CREPE_SAMPLE_RATE) / CREPE_SAMPLE_RATE
+    for freq in (65.0, 110.0, 220.0, 440.0, 880.0, 1000.0):
+        phase = 2 * np.pi * freq * t
+        audio = (
+            0.3 * (np.sin(phase) + 0.4 * np.sin(2 * phase) + 0.2 * np.sin(3 * phase))
+        ).astype(np.float32)
+        f0, periodicity = labeler.predict(audio, CREPE_SAMPLE_RATE, 256)
+        voiced = f0[5:-5]
+        cents_err = np.abs(1200 * np.log2(np.maximum(voiced, 1e-3) / freq))
+        assert np.median(cents_err) < 50, (freq, float(np.median(cents_err)))
+
+
 def test_torchcrepe_layout_conversion():
     """convert_crepe_weights maps a torchcrepe-layout state dict onto our
     flax tree (verified by loading and running the converted weights)."""

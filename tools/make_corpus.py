@@ -247,13 +247,30 @@ def _augment(rng: np.random.Generator, wave: np.ndarray) -> np.ndarray:
         return (wave + noise_std * pink).astype(np.float32)
     # kind == 5: synthetic reverb — exponential-decay noise RIR; training
     # T60 range extends past the eval grid's 1.0 s so the hardest suite row
-    # sits inside the training distribution
+    # sits inside the training distribution.
+    #
+    # Two D/R regimes (stage-m fix): the original formulation L2-normalised
+    # [direct=1, noise tail] — tail energy ~1000x direct (≈ -30 dB
+    # direct-to-reverberant), far wetter than the eval room model
+    # (dsp/filters.synthesize_rir: tail peak-scaled to 0.25 against a unit
+    # direct ≈ -6.5 dB D/R).  Training on only the extreme regime left the
+    # suite's moderate rooms out-of-distribution (suites_k room t60_0.6
+    # RPA 0.71).  Default draw: 75% eval-matched D/R (tail peak scale
+    # 0.1-0.6 bracketing the suite's 0.25), 25% legacy ultra-wet.
     t60 = rng.uniform(0.2, 1.3)
-    rir_len = int(t60 * SR)
+    rir_len = max(int(t60 * SR), 240)
     t = np.arange(rir_len) / SR
-    rir = rng.standard_normal(rir_len) * np.exp(-6.9078 * t / t60)  # ln(1e3)
-    rir[0] = 1.0  # keep the direct path dominant
-    rir /= max(float(np.sqrt(np.sum(rir**2))), 1e-12)
+    tail = rng.standard_normal(rir_len) * np.exp(-6.9078 * t / t60)  # ln(1e3)
+    if rng.uniform() < 0.75:
+        # eval-matched regime: unit direct path + peak-scaled noise tail
+        # (randomised around synthesize_rir's direct_gain=1.0, tail 0.25)
+        rir = tail * (rng.uniform(0.1, 0.6) / max(float(np.max(np.abs(tail))), 1e-9))
+        rir[int(rng.uniform(0.0, 0.004) * SR)] += 1.0
+    else:
+        # legacy ultra-wet regime (direct buried in the tail)
+        rir = tail
+        rir[0] = 1.0
+        rir /= max(float(np.sqrt(np.sum(rir**2))), 1e-12)
     wet = np.fft.irfft(
         np.fft.rfft(wave, n=len(wave) + rir_len) * np.fft.rfft(rir, n=len(wave) + rir_len)
     )[: len(wave)]
