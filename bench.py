@@ -26,7 +26,7 @@ import numpy as np
 
 
 def _bench_train_step(
-    batch_size=64, T=192, steps=50, warmup=5, windows=3, seq_cfg=None
+    batch_size=64, T=192, steps=50, warmup=5, windows=5, seq_cfg=None
 ):
     """Median-of-windows training throughput with fresh host batches.
 

@@ -60,7 +60,11 @@ def _max_pool_freq(x, w: int):
     uncovered tail when F % w != 0 is dropped either way); the
     reshape+reduce-max forward fuses into the surrounding BN/LReLU chain
     (vs 7.3 ms/step of ``select-and-scatter`` backward, RESULTS.md leg-7
-    trace).  Tie gradients split among
+    trace).  The autodiff backward of this formulation is already
+    layout-optimal: three replacements (Pallas lane-packed expansion,
+    strided-slice compares, hand-written eq/count/select VJP) all measured
+    equal or slower on the real chip — RESULTS.md leg-11 records the
+    numbers so they are not retried blindly.  Tie gradients split among
     maxima instead of torch's first-index rule (subgradient choice only;
     forward parity is exact)."""
     f = x.shape[2]
