@@ -1,3 +1,3 @@
-from .audio import AudioInfo, read_audio, audio_info, write_wav
+from .audio import AudioDecodeError, AudioInfo, read_audio, audio_info, write_wav
 
-__all__ = ["AudioInfo", "read_audio", "audio_info", "write_wav"]
+__all__ = ["AudioDecodeError", "AudioInfo", "read_audio", "audio_info", "write_wav"]
