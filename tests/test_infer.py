@@ -1,6 +1,8 @@
 """Inference tests: chunk stitching exactness, legacy-concat parity with the
 reference notebook loop, checkpoint discovery, end-to-end predict."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -202,3 +204,65 @@ def test_octave_correct_snaps_isolated_flips_only():
         np.float32
     )
     np.testing.assert_allclose(octave_correct(vib), vib)
+
+
+def test_infer_cli_end_to_end(tmp_path):
+    """pitchextractor-infer: wavs + --list in, frame-aligned npy/csv out."""
+    from click.testing import CliRunner
+
+    from pitchextractor_tpu.infer.cli import main as infer_main
+    from pitchextractor_tpu.io import write_wav
+    from pitchextractor_tpu.train.checkpoint import save_checkpoint
+
+    model = JDCNet(num_class=1, sequence_model_config=TINY_SEQ)
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 8, 80, 1)), train=False)
+    ckpt = str(tmp_path / "epoch_00001.ckpt")
+    save_checkpoint(
+        ckpt,
+        variables["params"],
+        variables["batch_stats"],
+        opt_state={},
+        steps=1,
+        epochs=1,
+        extra_meta={"model_params": {"num_class": 1, "sequence_model": TINY_SEQ}},
+    )
+
+    wav_a = str(tmp_path / "a.wav")
+    wav_b = str(tmp_path / "b.wav")
+    write_wav(wav_a, _audio(0.6), SR)
+    write_wav(wav_b, _audio(1.1), SR)
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{wav_b}|unused_label\n")
+
+    out_dir = tmp_path / "out"
+    runner = CliRunner()
+    result = runner.invoke(
+        infer_main,
+        [wav_a, "--list", str(lst), "--checkpoint", ckpt,
+         "--config_path", str(tmp_path / "missing.yml"),
+         "--output_dir", str(out_dir), "--format", "csv"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+
+    import csv as csv_mod
+
+    for wav, seconds in ((wav_a, 0.6), (wav_b, 1.1)):
+        out = out_dir / (os.path.splitext(os.path.basename(wav))[0] + "_f0.csv")
+        assert out.is_file()
+        rows = list(csv_mod.DictReader(open(out)))
+        assert len(rows) == 1 + int(SR * seconds) // 300
+        assert set(rows[0]) == {"time_s", "f0_hz", "voiced"}
+
+    # npy default path: outputs land alongside the inputs
+    result = runner.invoke(
+        infer_main,
+        [wav_a, "--checkpoint", ckpt, "--config_path", str(tmp_path / "missing.yml")],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    contour = np.load(str(tmp_path / "a_f0.npy"))
+    assert contour.shape == (1 + int(SR * 0.6) // 300,)
+    np.testing.assert_allclose(
+        contour, F0Predictor(model, variables).predict_f0(_audio(0.6)), atol=2e-3
+    )
