@@ -418,17 +418,26 @@ def test_swiftf0_facade_default_threshold_voices_pure_sine():
         ext.compute(np.zeros(sr, np.float32), sr)
 
 
-def test_crepe_capacity_fallback_to_packaged_weights():
-    """Regression: configuring the reference default ``model: full`` (no
-    full-capacity npz shipped) falls back to the best packaged capacity
-    instead of skipping the backend; explicit weights_path still wins."""
+def test_crepe_capacity_fallback_to_packaged_weights(monkeypatch):
+    """Regression: configuring a capacity whose npz is not shipped falls back
+    to the best packaged capacity at or below it instead of skipping the
+    backend; explicit weights_path still wins.  (All five capacities ship
+    now, so the missing-weights case is simulated by hiding the requested
+    capacity's npz.)"""
     pytest.importorskip("flax")
     import os as _os
 
     if not _os.path.isfile("weights/crepe_small.npz"):
         pytest.skip("packaged crepe weights absent")
+    from pitchextractor_tpu.labels import crepe as crepe_mod
     from pitchextractor_tpu.labels.crepe import CrepeLabeler
 
+    real_packaged = crepe_mod.packaged_weights_path
+
+    def hide_full(name):
+        return None if name == "crepe_full.npz" else real_packaged(name)
+
+    monkeypatch.setattr(crepe_mod, "packaged_weights_path", hide_full)
     lab = CrepeLabeler(capacity="full")
     assert lab.capacity_name in ("large", "medium", "small", "tiny")  # largest packaged wins
     sr = 24000
