@@ -91,7 +91,8 @@ def main():
 
     for i in range(args.warmup):
         metrics = trainer.run(pool[i % len(pool)])
-    float(metrics["loss"])  # remote-transport sync (see bench.py NOTE)
+    if args.warmup:
+        float(metrics["loss"])  # remote-transport sync (see bench.py NOTE)
 
     window_rates = []
     step_idx = 0
