@@ -64,11 +64,27 @@ def _pad_to_bucket(waveform: np.ndarray, sr: int, bucket_seconds: float) -> np.n
     return np.pad(waveform, ((0, 0), (0, pad)))
 
 
+def _as_f32_waveform_device(audio):
+    """Dequantize a device-placed waveform batch to float32 on device.
+
+    int16 rides the host->device wire at half the bytes (labels/bulk.py's
+    pipelined upload); the 1/32768 scale makes the round trip exact for
+    samples that came from 16-bit PCM decode (io/audio.py divides by 32768).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if hasattr(audio, "dtype") and audio.dtype == jnp.int16:
+        return jax.jit(lambda x: x.astype(jnp.float32) * (1.0 / 32768.0))(audio)
+    return audio
+
+
 class JaxACBackend(BaseF0Backend):
     """TPU-native autocorrelation/Viterbi tracker (the framework default)."""
 
     backend_type = "jax_ac"
     requires_accelerator = True
+    supports_device_batch = True
 
     def __init__(self, *args, **kwargs) -> None:
         super().__init__(*args, **kwargs)
@@ -115,6 +131,17 @@ class JaxACBackend(BaseF0Backend):
         out = track_pitch_batch(padded, sr, hop, self.params)
         return np.asarray(out, dtype=np.float64)[:, :true_frames]
 
+    def compute_batch_device(self, audio, sr: Optional[int] = None):
+        """Device-in/device-out batched tracking (no host sync).
+
+        ``audio`` must already be bucket-padded (the caller owns the compile
+        key); frames past ``1 + samples // hop`` are padding artifacts the
+        caller trims after fetch."""
+        sr = int(sr or self.sample_rate)
+        return track_pitch_batch(
+            _as_f32_waveform_device(audio), sr, self._hop_for(sr), self.params
+        )
+
 
 class JaxYinBackend(BaseF0Backend):
     """Batched YIN (de Cheveigné & Kawahara 2002) on TPU.
@@ -125,6 +152,7 @@ class JaxYinBackend(BaseF0Backend):
 
     backend_type = "jax_yin"
     requires_accelerator = True
+    supports_device_batch = True
 
     def __init__(self, *args, **kwargs) -> None:
         super().__init__(*args, **kwargs)
@@ -148,6 +176,15 @@ class JaxYinBackend(BaseF0Backend):
         padded = _pad_to_bucket(batch, sr, self.bucket_seconds)
         out = yin_batch(padded, sr, hop, self.fmin, self.fmax, self.threshold)
         return np.asarray(out, dtype=np.float64)[:, :true_frames]
+
+    def compute_batch_device(self, audio, sr: Optional[int] = None):
+        from .yin import yin_batch
+
+        sr = int(sr or self.sample_rate)
+        hop = max(1, int(round(self.frame_period_ms * sr / 1000.0)))
+        return yin_batch(
+            _as_f32_waveform_device(audio), sr, hop, self.fmin, self.fmax, self.threshold
+        )
 
 
 class JaxPyinBackend(JaxYinBackend):
@@ -193,6 +230,24 @@ class JaxPyinBackend(JaxYinBackend):
             beta_b=self.beta_b,
         )
         return np.asarray(out, dtype=np.float64)[:, :true_frames]
+
+    def compute_batch_device(self, audio, sr: Optional[int] = None):
+        from .yin import pyin_batch
+
+        sr = int(sr or self.sample_rate)
+        hop = max(1, int(round(self.frame_period_ms * sr / 1000.0)))
+        return pyin_batch(
+            _as_f32_waveform_device(audio),
+            sr,
+            hop,
+            fmin=self.fmin,
+            fmax=self.fmax,
+            cents_per_bin=self.cents_per_bin,
+            switch_prob=self.switch_prob,
+            max_step_cents=self.max_step_cents,
+            beta_a=self.beta_a,
+            beta_b=self.beta_b,
+        )
 
 
 class PyWorldBackend(BaseF0Backend):

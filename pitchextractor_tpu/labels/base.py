@@ -129,6 +129,18 @@ class BaseF0Backend:
     def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
         raise NotImplementedError
 
+    # Device-level batched labeling (new TPU capability; no reference
+    # counterpart).  Accepts an already device-placed ``(B, samples)`` array
+    # (float32, or int16 at the 1/32768 wave scale for cheap transfers) and
+    # returns the *device* contour array ``(B, frames)`` without forcing a
+    # host sync — so callers can pipeline upload / compute / download
+    # (labels/bulk.py).  ``None`` means the backend has no device path and
+    # callers must use ``compute_batch``.
+    supports_device_batch: bool = False
+
+    def compute_batch_device(self, audio, sr: Optional[int] = None):
+        return None
+
     def compute_batch(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
         """Label a dense batch ``(B, samples)`` -> ``(B, frames)``.
 

@@ -26,6 +26,7 @@ def precompute(
     bucket_seconds: float = 1.0,
     force: bool = False,
     verbose: bool = True,
+    transfer_dtype: str = "int16",
 ) -> dict:
     from pitchextractor_tpu import config as config_lib
     from pitchextractor_tpu.data.dataset import MelDataset
@@ -51,6 +52,7 @@ def precompute(
         bucket_seconds=bucket_seconds,
         force=force,
         verbose=verbose,
+        transfer_dtype=transfer_dtype,
     )
 
 
@@ -60,8 +62,18 @@ def precompute(
 @click.option("--batch_size", default=64, type=int)
 @click.option("--bucket_seconds", default=1.0, type=float)
 @click.option("--force", is_flag=True, default=False)
-def main(list_path, config_path, batch_size, bucket_seconds, force):
-    stats = precompute(list_path, config_path, batch_size, bucket_seconds, force)
+@click.option(
+    "--transfer_dtype",
+    default="int16",
+    type=click.Choice(["int16", "float32"]),
+    help="wire dtype for the pipelined wave upload (int16 halves the bytes; "
+    "float32 gives byte-identical caches vs the serial path)",
+)
+def main(list_path, config_path, batch_size, bucket_seconds, force, transfer_dtype):
+    stats = precompute(
+        list_path, config_path, batch_size, bucket_seconds, force,
+        transfer_dtype=transfer_dtype,
+    )
     print(json.dumps(stats, default=str))
 
 

@@ -221,6 +221,36 @@ class F0Extractor:
             audio = audio[None, :]
         primary = self.backends[0]
         f0 = np.asarray(primary.compute_batch(audio, sr), dtype=np.float64)
+        return self.apply_batch_fallback(f0, audio, sr)
+
+    @property
+    def supports_device_batch(self) -> bool:
+        """True when the primary backend offers the device-in/device-out
+        batched path (``compute_batch_device``)."""
+        return bool(getattr(self.backends[0], "supports_device_batch", False))
+
+    def compute_batch_device(self, audio, sr: Optional[int] = None):
+        """Device-level batched labeling through the primary backend.
+
+        Returns a *device* array (no host sync) so callers can pipeline
+        upload/compute/download (labels/bulk.py), or ``None`` when the
+        primary backend has no device path.  The bad-row cascade fallback
+        needs host values — apply ``apply_batch_fallback`` after fetching.
+        """
+        sr = int(sr or self.sample_rate)
+        return self.backends[0].compute_batch_device(audio, sr)
+
+    def apply_batch_fallback(
+        self, f0: np.ndarray, audio: np.ndarray, sr: Optional[int] = None
+    ) -> np.ndarray:
+        """Re-run rows with fewer than ``bad_f0_threshold`` voiced frames
+        through the per-utterance cascade (reference f0_backends.py:776-782
+        semantics, applied per batch row)."""
+        sr = int(sr or self.sample_rate)
+        f0 = np.asarray(f0, dtype=np.float64)
+        audio = np.asarray(audio)
+        if audio.ndim == 1:
+            audio = audio[None, :]
         if len(self.backends) > 1:
             bad_rows = np.count_nonzero(f0, axis=-1) < self.bad_f0_threshold
             for i in np.nonzero(bad_rows)[0]:

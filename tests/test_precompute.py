@@ -69,3 +69,64 @@ def test_precompute_skips_bad_files(tmp_path):
         fh.write(bad + "|x\n")
     stats = precompute(list_path, config_path="/nonexistent.yml", verbose=False)
     assert stats["failed"] == 1 and stats["written"] == 1
+
+
+def test_pipelined_matches_serial_exactly(tmp_path, monkeypatch):
+    """The upload/compute/fetch pipeline must write the same caches the
+    serial dispatch loop would (regression gate for the overlap machinery;
+    5 files at batch_size=2 exercises multi-batch carry + the tail)."""
+    durations = (0.4, 0.4, 0.7, 0.7, 1.1)
+    list_path, paths = _corpus(tmp_path, durations=durations)
+
+    stats = precompute(
+        list_path, config_path="/nonexistent.yml", batch_size=2, verbose=False,
+        transfer_dtype="float32",
+    )
+    assert stats["pipelined"] is True and stats["written"] == len(paths)
+    ident = stats["cache_identifier"]
+    piped = {p: np.load(p + f"_f0{ident}.npy") for p in paths}
+
+    # serial reference: disable the device path on the facade
+    from pitchextractor_tpu.labels.extractor import F0Extractor
+
+    monkeypatch.setattr(
+        F0Extractor, "supports_device_batch", property(lambda self: False)
+    )
+    stats2 = precompute(
+        list_path, config_path="/nonexistent.yml", batch_size=2, verbose=False,
+        force=True,
+    )
+    assert stats2["pipelined"] is False and stats2["written"] == len(paths)
+    for p in paths:
+        serial = np.load(p + f"_f0{ident}.npy")
+        np.testing.assert_array_equal(piped[p], serial)
+
+
+def test_int16_transfer_exact_for_pcm16_sources(tmp_path):
+    """PCM16-decoded waves are k/32768 grid values, so the int16 wire dtype
+    (the default) quantizes losslessly and caches match float32 transfers."""
+    list_path, paths = _corpus(tmp_path, durations=(0.4, 0.9))
+    s1 = precompute(
+        list_path, config_path="/nonexistent.yml", batch_size=2, verbose=False,
+        transfer_dtype="int16",
+    )
+    assert s1["transfer_dtype"] == "int16"
+    ident = s1["cache_identifier"]
+    i16 = {p: np.load(p + f"_f0{ident}.npy") for p in paths}
+    precompute(
+        list_path, config_path="/nonexistent.yml", batch_size=2, verbose=False,
+        force=True, transfer_dtype="float32",
+    )
+    for p in paths:
+        np.testing.assert_array_equal(i16[p], np.load(p + f"_f0{ident}.npy"))
+
+
+def test_quantize_waveform_i16_roundtrip():
+    from pitchextractor_tpu.labels.bulk import quantize_waveform_i16
+
+    k = np.arange(-32768, 32768, 7, dtype=np.int64)
+    x = (k / 32768.0).astype(np.float32)
+    q = quantize_waveform_i16(x)
+    np.testing.assert_array_equal(q.astype(np.int64), k)
+    # out-of-range input clips instead of wrapping
+    assert quantize_waveform_i16(np.array([1.5], np.float32))[0] == 32767
