@@ -47,8 +47,9 @@ def mulaw_roundtrip(audio: np.ndarray, bits: int = 8, mu: float = 255.0) -> np.n
     """
     x = np.clip(np.asarray(audio, dtype=np.float64), -1.0, 1.0)
     y = np.sign(x) * np.log1p(mu * np.abs(x)) / np.log1p(mu)
-    levels = float(2 ** int(bits) - 1)
-    yq = np.round((y + 1.0) * 0.5 * levels) / levels * 2.0 - 1.0
+    # mid-tread sign+magnitude quantizer (G.711 layout): zero is a level
+    half = float(2 ** (int(bits) - 1) - 1)
+    yq = np.round(y * half) / half
     out = np.sign(yq) * (np.expm1(np.abs(yq) * np.log1p(mu))) / mu
     return out.astype(np.float32)
 
@@ -61,8 +62,8 @@ def alaw_roundtrip(audio: np.ndarray, bits: int = 8, A: float = 87.6) -> np.ndar
     y = np.sign(x) * np.where(
         ax < 1.0 / A, A * ax / denom, (1.0 + np.log(np.maximum(A * ax, 1e-300))) / denom
     )
-    levels = float(2 ** int(bits) - 1)
-    yq = np.round((y + 1.0) * 0.5 * levels) / levels * 2.0 - 1.0
+    half = float(2 ** (int(bits) - 1) - 1)
+    yq = np.round(y * half) / half
     ay = np.abs(yq)
     out = np.sign(yq) * np.where(
         ay < 1.0 / denom, ay * denom / A, np.exp(ay * denom - 1.0) / A
@@ -144,10 +145,12 @@ def mdct_codec_roundtrip(
     x = np.asarray(audio, dtype=np.float64).reshape(-1)
     n = int(n)
     total = len(x)
-    # pad to a whole number of hops plus one leading/trailing flush block
-    frames = int(np.ceil(total / n)) + 1
+    # offset by one full hop so every signal sample is covered by TWO
+    # overlapping blocks (TDAC aliasing cancels only where both halves of
+    # the 50% overlap exist), plus trailing flush blocks
+    frames = int(np.ceil(total / n)) + 2
     padded = np.zeros((frames + 1) * n, dtype=np.float64)
-    padded[n // 2 : n // 2 + total] = x
+    padded[n : n + total] = x
 
     C = _mdct_matrix(n)  # (n, 2n)
     w = _sine_window(n)  # (2n,)
@@ -188,7 +191,7 @@ def mdct_codec_roundtrip(
     out = np.zeros_like(padded)
     for f in range(frames):
         out[f * n : f * n + 2 * n] += y_blocks[f]
-    return out[n // 2 : n // 2 + total].astype(np.float32)
+    return out[n : n + total].astype(np.float32)
 
 
 #: proxy registry used by the codec suite: name -> callable(audio, sr, param)

@@ -68,17 +68,44 @@ def main(checkpoint, checkpoint_dir, config_path, suites, output_dir, eval_list,
             "f0_params": (config.get("dataset_params", {}) or {}).get("f0_params"),
         }
     results = run_all(predictor, output_dir, suites=selected, config=suite_config)
-    summary = {
-        name: {
-            "rows": len(rows),
+    print(json.dumps(summarize_results(results), indent=2, sort_keys=True))
+
+
+def summarize_results(results: dict) -> dict:
+    """Per-suite summary that never hides coverage gaps: skipped rows are
+    counted explicitly (round-2 weakness: means silently absorbed them) and
+    when rows carry a family tag (the codec suite's bandwidth / codec /
+    codec_proxy split) each family gets its own mean so proxy rows are never
+    quoted as real-codec numbers."""
+    summary = {}
+    for name, rows in results.items():
+        scored = [r for r in rows if isinstance(r.get("RPA"), float)]
+        skipped = [r for r in rows if r.get("skipped")]
+        entry = {
+            "rows": len(scored),
+            "skipped": len(skipped),
             "mean_RPA": float(
-                sum(r.get("RPA", 0) or 0 for r in rows if isinstance(r.get("RPA"), float))
-                / max(sum(1 for r in rows if isinstance(r.get("RPA"), float)), 1)
+                sum(r["RPA"] for r in scored) / max(len(scored), 1)
             ),
         }
-        for name, rows in results.items()
-    }
-    print(json.dumps(summary, indent=2, sort_keys=True))
+        if skipped:
+            entry["skipped_conditions"] = sorted(
+                str(r.get("condition", "?")) for r in skipped
+            )
+        families = sorted({str(r.get("suite")) for r in scored if r.get("suite")})
+        if len(families) > 1:
+            entry["families"] = {
+                fam: {
+                    "rows": sum(1 for r in scored if str(r.get("suite")) == fam),
+                    "mean_RPA": float(
+                        sum(r["RPA"] for r in scored if str(r.get("suite")) == fam)
+                        / max(sum(1 for r in scored if str(r.get("suite")) == fam), 1)
+                    ),
+                }
+                for fam in families
+            }
+        summary[name] = entry
+    return summary
 
 
 if __name__ == "__main__":

@@ -45,6 +45,7 @@ from ..dsp.filters import (
     clip_audio,
     synthesize_rir,
 )
+from ..dsp.codec_proxy import PROXY_CODECS
 from ..dsp.resample import resample_np
 from .metrics import (
     batch_metrics,
@@ -256,6 +257,15 @@ def _ffmpeg_roundtrip(audio: np.ndarray, sr: int, codec: str, bitrate_kbps: int)
 
 
 def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
+    """Resample round trips + real ffmpeg codecs + in-tree codec proxies.
+
+    Real-codec rows (``suite: codec``) run only when ffmpeg exists on the
+    host (reference codec notebook cells 4, 9); the proxy rows
+    (``suite: codec_proxy``, dsp/codec_proxy.py — μ-law/A-law companding and
+    bitrate-proportional MDCT quantization) always run, so the codec
+    degradation family executes on every host.  The two families are
+    reported separately — proxies never masquerade as real codecs.
+    """
     config = config or {}
     sr = predictor.sample_rate
     duration = float(config.get("duration_seconds", 2.0))
@@ -263,6 +273,10 @@ def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict
     codecs = config.get(
         "codecs",
         [("libopus", 16), ("libopus", 64), ("libmp3lame", 32), ("libmp3lame", 128), ("aac", 32)],
+    )
+    proxy_specs = config.get(
+        "proxy_codecs",
+        [("mulaw", 8), ("alaw", 8), ("mdct", 16), ("mdct", 32), ("mdct", 64), ("mdct", 128)],
     )
 
     curve = wander_curve(196.0, 0.5, 0.8, duration, sr)
@@ -284,6 +298,17 @@ def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict
             continue
         waves.append(decoded)
         tags.append({"suite": "codec", "condition": f"{codec}_{kbps}k"})
+    for name, param in proxy_specs:
+        fn = PROXY_CODECS.get(str(name))
+        if fn is None:
+            skipped.append(
+                {"suite": "codec_proxy", "condition": f"proxy_{name}_{param}",
+                 "skipped": f"unknown proxy codec {name!r}"}
+            )
+            continue
+        unit = "bit" if str(name) in ("mulaw", "alaw") else "k"
+        waves.append(np.asarray(fn(clean, sr, param), dtype=np.float32)[: len(clean)])
+        tags.append({"suite": "codec_proxy", "condition": f"proxy_{name}_{param}{unit}"})
     preds = _predict_batch(predictor, waves)
     refs = [bank.frame_reference_row(0, len(p), _hop(predictor)) for p in preds]
     return _score(refs, preds, tags) + skipped

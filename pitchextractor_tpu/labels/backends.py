@@ -64,18 +64,27 @@ def _pad_to_bucket(waveform: np.ndarray, sr: int, bucket_seconds: float) -> np.n
     return np.pad(waveform, ((0, 0), (0, pad)))
 
 
+_DEQUANT_I16 = None
+
+
 def _as_f32_waveform_device(audio):
     """Dequantize a device-placed waveform batch to float32 on device.
 
     int16 rides the host->device wire at half the bytes (labels/bulk.py's
     pipelined upload); the 1/32768 scale makes the round trip exact for
     samples that came from 16-bit PCM decode (io/audio.py divides by 32768).
+    The jitted dequant is cached at module level — a per-call ``jax.jit``
+    wrapper would recompile every batch (round-3 bench regression).
     """
-    import jax
+    global _DEQUANT_I16
     import jax.numpy as jnp
 
     if hasattr(audio, "dtype") and audio.dtype == jnp.int16:
-        return jax.jit(lambda x: x.astype(jnp.float32) * (1.0 / 32768.0))(audio)
+        if _DEQUANT_I16 is None:
+            import jax
+
+            _DEQUANT_I16 = jax.jit(lambda x: x.astype(jnp.float32) * (1.0 / 32768.0))
+        return _DEQUANT_I16(audio)
     return audio
 
 
