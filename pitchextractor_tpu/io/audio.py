@@ -27,6 +27,8 @@ import numpy as np
 WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+# sentinel format tag for FLAC containers (not a RIFF fmt tag; io-internal)
+FORMAT_FLAC = 0xF1AC
 
 
 class AudioDecodeError(RuntimeError):
@@ -124,8 +126,35 @@ def _scan_header(handle) -> AudioInfo:
     )
 
 
+def _sniff_magic(path: str) -> bytes:
+    try:
+        with open(path, "rb") as handle:
+            return handle.read(4)
+    except OSError as exc:
+        raise AudioDecodeError(f"failed to open audio file '{path}': {exc}") from exc
+
+
 def audio_info(path: str) -> AudioInfo:
-    """Header-only metadata read (reference meldataset.py:303-320)."""
+    """Header-only metadata read (reference meldataset.py:303-320).
+
+    Dispatches on container magic: RIFF/WAVE or FLAC (io/flac.py — the
+    format real corpora like VCTK ship in; libsndfile reads it transparently
+    in the reference, meldataset.py:285-301)."""
+    if _sniff_magic(path) == b"fLaC":
+        from .flac import FlacError, flac_info
+
+        try:
+            info = flac_info(path)
+        except (FlacError, OSError, struct.error) as exc:
+            raise AudioDecodeError(f"failed to read FLAC header '{path}': {exc}") from exc
+        return AudioInfo(
+            frames=info.total_samples,
+            samplerate=info.sample_rate,
+            channels=info.channels,
+            format_tag=FORMAT_FLAC,
+            bits_per_sample=info.bits_per_sample,
+            data_offset=info.first_frame_offset,
+        )
     try:
         with open(path, "rb") as handle:
             return _scan_header(handle)
@@ -191,6 +220,13 @@ def read_audio(
 
     if count <= 0:
         data = np.zeros((0, info.channels), dtype=np.float32)
+    elif info.format_tag == FORMAT_FLAC:
+        from .flac import FlacError, read_flac
+
+        try:
+            data, _rate = read_flac(path, start, count)
+        except (FlacError, OSError) as exc:
+            raise AudioDecodeError(f"failed to decode FLAC '{path}': {exc}") from exc
     else:
         # native C++ fast path (native/pexio.cpp) with transparent fallback
         from .native import native_read

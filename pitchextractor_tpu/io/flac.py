@@ -595,10 +595,9 @@ def _encode_subframe(bw: _BitWriter, x: np.ndarray, bps: int) -> None:
         res = x.copy()
         for _ in range(order):
             res = np.diff(res)
-        res = res[: n - order] if order == 0 else res
         k = _rice_parameter(res)
-        if k >= 15 or (len(res) and int(np.max(np.abs(res))) >> k > 1 << 20:
-            continue
+        if k >= 15 or (len(res) and (int(np.max(np.abs(res))) >> k) > (1 << 20)):
+            continue  # rice 4-bit params top out at 14; huge quotients -> verbatim
         cost = order * bps + _rice_cost(res, k)
         if best is None or cost < best[0]:
             best = (cost, order, res, k)

@@ -156,8 +156,17 @@ class JDCNet(nn.Module):
     def _fused_heads(self, x_clf, x_det, train: bool):
         """Run both heads' BiLSTM stacks through one multichain Pallas kernel
         per layer (4 chains: clf-fwd, clf-bwd, det-fwd, det-bwd) — amortises
-        the sequential per-step overhead across all four recurrences."""
-        from ..ops.lstm_pallas import multichain_lstm_pallas
+        the sequential per-step overhead across all four recurrences.
+
+        Inputs/outputs are time-major (T, B, D): the whole fused stack stays
+        in the kernels' native layout, eliminating the per-layer
+        (B,T)<->(T,B) relayout copies the round-3 trace measured at
+        ~1.5 ms/step (sequence.py:88 / jdc.py glue)."""
+        from ..ops.lstm_pallas import (
+            _use_dir_dma,
+            multichain_lstm_dir,
+            multichain_lstm_pallas,
+        )
         from .sequence import _proj_bf16_active
 
         clf = self.sequence_classifier
@@ -166,24 +175,32 @@ class JDCNet(nn.Module):
         L = clf.num_layers
         lstm_dropout = clf.dropout if L > 1 else 0.0
         pb = _proj_bf16_active(train)
+        dir_dma = _use_dir_dma()
         for k in range(L):
             cf, cb = clf.bilstm.layer_pair(k)
             df, db = det.bilstm.layer_pair(k)
-            xp_cf, w_cf = cf(h_c, project_only=True, bf16_proj=pb)
-            xp_cb, w_cb = cb(h_c, project_only=True, bf16_proj=pb)
-            xp_df, w_df = df(h_d, project_only=True, bf16_proj=pb)
-            xp_db, w_db = db(h_d, project_only=True, bf16_proj=pb)
-            xp4 = jnp.stack(
-                [xp_cf, jnp.flip(xp_cb, axis=0), xp_df, jnp.flip(xp_db, axis=0)], axis=1
-            )  # (T, 4, B, 4H)
+            xp_cf, w_cf = cf(h_c, project_only=True, bf16_proj=pb, time_major=True)
+            xp_cb, w_cb = cb(h_c, project_only=True, bf16_proj=pb, time_major=True)
+            xp_df, w_df = df(h_d, project_only=True, bf16_proj=pb, time_major=True)
+            xp_db, w_db = db(h_d, project_only=True, bf16_proj=pb, time_major=True)
             w4 = jnp.stack([w_cf, w_cb, w_df, w_db], axis=0)
-            hs = multichain_lstm_pallas(xp4, w4)  # (T, 4, B, H)
-            h_c = jnp.swapaxes(
-                jnp.concatenate([hs[:, 0], jnp.flip(hs[:, 1], axis=0)], axis=-1), 0, 1
-            )
-            h_d = jnp.swapaxes(
-                jnp.concatenate([hs[:, 2], jnp.flip(hs[:, 3], axis=0)], axis=-1), 0, 1
-            )
+            if dir_dma:
+                # per-chain refs + direction-aware DMA: no flips, no pack
+                # interleave — the kernel reads each projection in its own
+                # time order and writes real-time-ordered outputs
+                hs = multichain_lstm_dir(
+                    (xp_cf, xp_cb, xp_df, xp_db), w4, dirs=(0, 1, 0, 1)
+                )  # (T, 4, B, H) real time order
+                h_c = jnp.concatenate([hs[:, 0], hs[:, 1]], axis=-1)
+                h_d = jnp.concatenate([hs[:, 2], hs[:, 3]], axis=-1)
+            else:
+                xp4 = jnp.stack(
+                    [xp_cf, jnp.flip(xp_cb, axis=0), xp_df, jnp.flip(xp_db, axis=0)],
+                    axis=1,
+                )  # (T, 4, B, 4H)
+                hs = multichain_lstm_pallas(xp4, w4)  # (T, 4, B, H)
+                h_c = jnp.concatenate([hs[:, 0], jnp.flip(hs[:, 1], axis=0)], axis=-1)
+                h_d = jnp.concatenate([hs[:, 2], jnp.flip(hs[:, 3], axis=0)], axis=-1)
             if k < L - 1 and lstm_dropout > 0:
                 h_c = clf.bilstm.inter_dropout(h_c, deterministic=not train)
                 h_d = det.bilstm.inter_dropout(h_d, deterministic=not train)
@@ -211,38 +228,14 @@ class JDCNet(nn.Module):
         pool = nn.Dropout(0.5, deterministic=not train, name="pool_dropout")(pool)
         # (B, T, 2, 256)
 
-        # ---------------- sequence-head inputs ----------------
-        # flatten channel-major to match the reference's permute(0,2,1,3)
-        # .view(B, T, 512) ordering (model.py:93) — required for checkpoint
-        # interop: NHWC (B,T,2,256) -> (B,T,256,2) -> (B,T,512)
-        classifier_in = jnp.swapaxes(pool, 2, 3).reshape((B, seq_len, -1))
-
-        # auxiliary maxpools collapse frequency to 2 for the detector skip concat
-        mp1 = _max_pool_freq(convblock_out, 40)
-        mp2 = _max_pool_freq(res1, 20)
-        mp3 = _max_pool_freq(res2, 10)
-        concat = jnp.concatenate([mp1, mp2, mp3, pool], axis=-1)  # (B, T, 2, 640)
-
-        det = nn.Conv(256, (1, 1), use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="detector_conv")(concat)
-        det = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="detector_bn")(det)
-        det = _leaky_relu(det, slope)
-        det = nn.Dropout(0.5, deterministic=not train, name="detector_dropout")(det)
-        detector_in = jnp.swapaxes(det, 2, 3).reshape((B, seq_len, -1))  # (B, T, 512)
-
-        # sequence heads + output Denses always run float32 (the Pallas
-        # recurrence bf16s its gate matmuls internally; the loss wants f32)
-        if self.dtype is not None:
-            classifier_in = classifier_in.astype(jnp.float32)
-            detector_in = detector_in.astype(jnp.float32)
-
-        # ---------------- sequence heads ----------------
+        # ---------------- fused-path decision (before the head-input build
+        # so the fused path constructs time-major directly) ----------------
         clf = self.sequence_classifier
         # Cross-head fusion (C=4) is the default: the round-2 microbench
         # (tools/bench_lstm.py, real chip) measured forward recurrence
         # 11.7 ms vs 19.4 for per-head C=2 fusion, and 26.6 vs 35.7 fwd+bwd
-        # with the Pallas BPTT backward — the per-step sequential overhead
-        # amortises across all four chains.  ``PEX_DISABLE_FUSED4_LSTM``
-        # opts out (e.g. for narrow-VMEM parts).
+        # with the Pallas BPTT backward.  ``PEX_DISABLE_FUSED4_LSTM`` opts
+        # out (e.g. for narrow-VMEM parts).
         import os
 
         # VMEM guard: beyond the scoped-vmem budget fall back to the
@@ -258,6 +251,37 @@ class JDCNet(nn.Module):
             and clf.bidirectional
             and __import__("pitchextractor_tpu.ops.lstm_pallas", fromlist=["lane_aligned"]).lane_aligned(clf.hidden_size)
         )
+
+        # ---------------- sequence-head inputs ----------------
+        # flatten channel-major to match the reference's permute(0,2,1,3)
+        # .view(B, T, 512) ordering (model.py:93) — required for checkpoint
+        # interop: NHWC (B,T,2,256) -> (B,T,256,2) -> (B,T,512).  The fused
+        # path builds (T,B,512) instead (same single relayout) and stays
+        # time-major through the whole head stack — see _fused_heads.
+        def _head_in(h):
+            if fused4:
+                out = jnp.transpose(h, (1, 0, 3, 2)).reshape((seq_len, B, -1))
+            else:
+                out = jnp.swapaxes(h, 2, 3).reshape((B, seq_len, -1))
+            # sequence heads + output Denses always run float32 (the Pallas
+            # recurrence bf16s its gate matmuls internally; the loss wants f32)
+            return out.astype(jnp.float32) if self.dtype is not None else out
+
+        classifier_in = _head_in(pool)
+
+        # auxiliary maxpools collapse frequency to 2 for the detector skip concat
+        mp1 = _max_pool_freq(convblock_out, 40)
+        mp2 = _max_pool_freq(res1, 20)
+        mp3 = _max_pool_freq(res2, 10)
+        concat = jnp.concatenate([mp1, mp2, mp3, pool], axis=-1)  # (B, T, 2, 640)
+
+        det = nn.Conv(256, (1, 1), use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="detector_conv")(concat)
+        det = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="detector_bn")(det)
+        det = _leaky_relu(det, slope)
+        det = nn.Dropout(0.5, deterministic=not train, name="detector_dropout")(det)
+        detector_in = _head_in(det)
+
+        # ---------------- sequence heads ----------------
         if fused4:
             classifier_out, detector_out = self._fused_heads(classifier_in, detector_in, train)
         else:
@@ -266,11 +290,16 @@ class JDCNet(nn.Module):
 
         f0_pred = nn.Dense(
             self.num_class, kernel_init=kaiming_uniform, bias_init=zeros, name="classifier"
-        )(classifier_out)  # (B, T, num_class)
+        )(classifier_out)
         detector_logits = nn.Dense(
             2, kernel_init=kaiming_uniform, bias_init=zeros, name="detector"
-        )(detector_out)  # (B, T, 2)
+        )(detector_out)
         # single-logit collapse preserved for loss parity (model.py:117)
-        voicing_logit = detector_logits.sum(axis=-1)  # (B, T)
+        voicing_logit = detector_logits.sum(axis=-1)
+        if fused4:
+            # the heads ran time-major; only the (T, B, few)-sized outputs
+            # transpose back to batch-major
+            f0_pred = jnp.swapaxes(f0_pred, 0, 1)  # (B, T, num_class)
+            voicing_logit = jnp.swapaxes(voicing_logit, 0, 1)  # (B, T)
 
         return f0_pred, voicing_logit

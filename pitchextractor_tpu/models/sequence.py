@@ -67,8 +67,21 @@ class LSTMLayer(nn.Module):
     reverse: bool = False
 
     @nn.compact
-    def __call__(self, x, project_only: bool = False, bf16_proj: bool = False):
-        B, T, D = x.shape
+    def __call__(
+        self,
+        x,
+        project_only: bool = False,
+        bf16_proj: bool = False,
+        time_major: bool = False,
+    ):
+        """``time_major=True`` takes/returns (T, B, ·) and skips the per-layer
+        transposes — the round-3 trace put ~1.5 ms/step of relayout copies in
+        the (B,T)<->(T,B) swaps around every fused layer; the fused-head path
+        (models/jdc.py) now stays time-major end-to-end."""
+        if time_major:
+            T, B, D = x.shape
+        else:
+            B, T, D = x.shape
         H = self.hidden_size
         # torch LSTM parameter layout: weight_ih (4H, D), weight_hh (4H, H),
         # bias_ih + bias_hh (4H,) each, gate order [i, f, g, o].
@@ -81,14 +94,17 @@ class LSTMLayer(nn.Module):
         # Training on TPU runs it (and its dx/dW grads) with bf16 operands
         # and stores the projection stream bf16 (ops/lstm_pallas.py
         # projection_matmul — ~19 ms/step of f32 matmul fusions in the
-        # leg-10 trace); bias adds and accumulation stay f32.
+        # leg-10 trace); bias adds and accumulation stay f32.  The einsum
+        # contracts the last axis either way, so the same call serves both
+        # (B,T,D) and (T,B,D) inputs.
         if bf16_proj:
             from ..ops.lstm_pallas import projection_matmul
 
             x_proj = (projection_matmul(x, w_ih) + b_ih + b_hh).astype(jnp.bfloat16)
         else:
-            x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih + b_hh  # (B, T, 4H)
-        x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) time-major
+            x_proj = jnp.einsum("btd,dh->bth", x, w_ih) + b_ih + b_hh
+        if not time_major:
+            x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H) time-major
 
         if project_only:
             # fused bidirectional path: the parent runs the recurrence

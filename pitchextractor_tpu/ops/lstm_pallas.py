@@ -686,3 +686,361 @@ def multichain_lstm_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarra
     """
     x_proj, B = _pad_batch(x_proj)
     return _bilstm_recurrence(x_proj, w_hh)[:, :, :B]
+
+
+# ---------------------------------------------------------------------------
+# Direction-aware multichain kernels (round 3).
+#
+# The stacked-pack path above needs the caller to interleave-copy the four
+# (T, B, 4H) projections into one (T, C, B, 4H) pack, time-flipping the
+# backward chains, and to flip the backward outputs again — the round-3
+# trace measured ~4 ms/step of stack/flip/relayout glue (jdc.py:176-185 +
+# copy.423).  These variants instead take the per-chain projection arrays
+# directly (C separate HBM refs, no pack) and give every chain its own time
+# direction in the DMA index math: backward chains read x_proj[T-1-i] and
+# write h/c at T-1-i, so inputs AND outputs stay in real time order and no
+# flip or interleave ever materializes.  Cost: C input DMA issues per step
+# instead of one (each (B, 4H) — still large enough to amortise).
+# ---------------------------------------------------------------------------
+
+
+def _dir_idx(i, T, d):
+    return (T - 1 - i) if d else i
+
+
+def _multichain_dir_kernel(*refs, T, C, dirs, save_carry):
+    """refs: C x xp_ref (T,B,4H) HBM, whh_ref (C,H,4H) VMEM, h_out (T,C,B,H),
+    [c_out (T,C,B,H)], scratch: xbuf (2,C,B,4H), hbuf, [cbuf], h, c,
+    in_sems (2,C), hout_sems (2,C), [cout_sems (2,C)]."""
+    xp_refs = refs[:C]
+    whh_ref = refs[C]
+    if save_carry:
+        (h_out_ref, c_out_ref, xbuf, hbuf, cbuf, h, c,
+         in_sems, hout_sems, cout_sems) = refs[C + 1 :]
+    else:
+        (h_out_ref, xbuf, hbuf, h, c, in_sems, hout_sems) = refs[C + 1 :]
+        c_out_ref = cbuf = cout_sems = None
+
+    def in_dma(slot, i, k):
+        return pltpu.make_async_copy(
+            xp_refs[k].at[_dir_idx(i, T, dirs[k])], xbuf.at[slot, k], in_sems.at[slot, k]
+        )
+
+    def h_dma(slot, i, k):
+        return pltpu.make_async_copy(
+            hbuf.at[slot, k], h_out_ref.at[_dir_idx(i, T, dirs[k]), k], hout_sems.at[slot, k]
+        )
+
+    def c_dma(slot, i, k):
+        return pltpu.make_async_copy(
+            cbuf.at[slot, k], c_out_ref.at[_dir_idx(i, T, dirs[k]), k], cout_sems.at[slot, k]
+        )
+
+    h[:] = jnp.zeros_like(h)
+    c[:] = jnp.zeros_like(c)
+    for k in range(C):
+        in_dma(0, 0, k).start()
+
+    def body(i, _):
+        slot = lax.rem(i, 2)
+        next_slot = lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < T)
+        def _():
+            for k in range(C):
+                in_dma(next_slot, i + 1, k).start()
+
+        for k in range(C):
+            in_dma(slot, i, k).wait()
+
+        _advance_chains(xbuf, whh_ref, h, c, slot, C)
+
+        # reclaim the output slots written two steps ago before overwriting
+        @pl.when(i >= 2)
+        def _():
+            for k in range(C):
+                h_dma(slot, i - 2, k).wait()
+                if save_carry:
+                    c_dma(slot, i - 2, k).wait()
+
+        hbuf[slot] = h[:].astype(hbuf.dtype)
+        if save_carry:
+            cbuf[slot] = c[:].astype(cbuf.dtype)
+        for k in range(C):
+            h_dma(slot, i, k).start()
+            if save_carry:
+                c_dma(slot, i, k).start()
+        return ()
+
+    lax.fori_loop(0, T, body, ())
+
+    @pl.when(T >= 2)
+    def _():
+        for k in range(C):
+            h_dma(lax.rem(T - 2, 2), T - 2, k).wait()
+            if save_carry:
+                c_dma(lax.rem(T - 2, 2), T - 2, k).wait()
+
+    for k in range(C):
+        h_dma(lax.rem(T - 1, 2), T - 1, k).wait()
+        if save_carry:
+            c_dma(lax.rem(T - 1, 2), T - 1, k).wait()
+
+
+def _multichain_dir_call(x_projs, w_hh, dirs, save_carry):
+    """x_projs: tuple of C (T, B, 4H) arrays; w_hh (C, H, 4H).
+
+    -> (hs, cs) each (T, C, B, H) in REAL time order when ``save_carry``,
+    else hs only.
+    """
+    C = len(x_projs)
+    T, B, H4 = x_projs[0].shape
+    H = H4 // 4
+    sd = _stream_dtype() if save_carry else jnp.float32
+    ss = jnp.dtype(sd).itemsize
+    args = tuple(x.astype(sd) for x in x_projs) + (w_hh.astype(_kernel_weight_dtype()),)
+    kernel = functools.partial(
+        _multichain_dir_kernel, T=T, C=C, dirs=tuple(dirs), save_carry=save_carry
+    )
+    n_out = 2 if save_carry else 1
+    scratch = [
+        pltpu.VMEM((2, C, B, H4), sd),  # xbuf
+        pltpu.VMEM((2, C, B, H), sd),  # hbuf
+    ]
+    if save_carry:
+        scratch.append(pltpu.VMEM((2, C, B, H), sd))  # cbuf
+    scratch += [
+        pltpu.VMEM((C, B, H), jnp.float32),  # h carry
+        pltpu.VMEM((C, B, H), jnp.float32),  # c carry
+        pltpu.SemaphoreType.DMA((2, C)),  # in
+        pltpu.SemaphoreType.DMA((2, C)),  # h out
+    ]
+    if save_carry:
+        scratch.append(pltpu.SemaphoreType.DMA((2, C)))  # c out
+    out_shape = tuple(jax.ShapeDtypeStruct((T, C, B, H), sd) for _ in range(n_out))
+    out_specs = tuple(pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_out))
+    if n_out == 1:
+        out_shape, out_specs = out_shape[0], out_specs[0]
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * C
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * C * B * H * H4,
+            bytes_accessed=(T * C * B * H4 + n_out * T * C * B * H) * ss
+            + C * H * H4 * 4,
+            transcendentals=4 * T * C * B * H,
+        ),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dir_recurrence(dirs, x_projs, w_hh):
+    # inference path (no grad traced): no cell-state history
+    return _multichain_dir_call(x_projs, w_hh, dirs, save_carry=False)
+
+
+def _dir_fwd(dirs, x_projs, w_hh):
+    hs, cs = _multichain_dir_call(x_projs, w_hh, dirs, save_carry=True)
+    res = (
+        tuple(x.astype(hs.dtype) for x in x_projs),
+        w_hh,
+        hs,
+        cs,
+        jnp.zeros((0,), x_projs[0].dtype),
+    )
+    return hs.astype(jnp.float32), res
+
+
+def _bptt_dir_kernel(pack_ref, whhT_ref, dgates_ref, pbuf, obuf, dc, dh_rec,
+                     in_sems, out_sems, *, T, C, dirs):
+    """Direction-aware BPTT: loop index k walks each chain's OWN reverse
+    time — real index T-1-k for forward chains, k for backward chains (a
+    backward chain's recurrence ran from real T-1 down to 0, so its BPTT
+    walks real time upward).  pack/dgates stay in real time order."""
+
+    def bidx(k, c):
+        # chain c's real-time index at reverse-loop step k
+        return _dir_idx(k, T, 0 if dirs[c] else 1)
+
+    def in_dma(slot, k, c):
+        return pltpu.make_async_copy(
+            pack_ref.at[bidx(k, c), c], pbuf.at[slot, c], in_sems.at[slot, c]
+        )
+
+    def out_dma(slot, k, c):
+        return pltpu.make_async_copy(
+            obuf.at[slot, c], dgates_ref.at[bidx(k, c), c], out_sems.at[slot, c]
+        )
+
+    dc[:] = jnp.zeros_like(dc)
+    dh_rec[:] = jnp.zeros_like(dh_rec)
+    for c in range(C):
+        in_dma(0, 0, c).start()
+
+    def body(k, _):
+        slot = lax.rem(k, 2)
+        next_slot = lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < T)
+        def _():
+            for c in range(C):
+                in_dma(next_slot, k + 1, c).start()
+
+        for c in range(C):
+            in_dma(slot, k, c).wait()
+
+        @pl.when(k >= 2)
+        def _():
+            for c in range(C):
+                out_dma(slot, k - 2, c).wait()
+
+        H = dc.shape[-1]
+        for c in range(C):  # static unroll over chains
+            pk = pbuf[slot, c]
+            if pk.dtype != jnp.float32:
+                pk = pk.astype(jnp.float32)
+            g_t = pk[:, 0 * H : 1 * H]
+            gi = pk[:, 1 * H : 2 * H]
+            gf = pk[:, 2 * H : 3 * H]
+            gg = pk[:, 3 * H : 4 * H]
+            go = pk[:, 4 * H : 5 * H]
+            tanh_c = pk[:, 5 * H : 6 * H]
+            c_prev = pk[:, 6 * H : 7 * H]
+
+            dh = g_t + dh_rec[c]
+            dct = dh * go * (1.0 - tanh_c * tanh_c) + dc[c]
+            do = dh * tanh_c * go * (1.0 - go)
+            di = dct * gg * gi * (1.0 - gi)
+            df = dct * c_prev * gf * (1.0 - gf)
+            dgg = dct * gi * (1.0 - gg * gg)
+            dgates = jnp.concatenate([di, df, dgg, do], axis=-1)
+
+            obuf[slot, c] = dgates.astype(obuf.dtype)
+            wT = whhT_ref[c]
+            dg = dgates.astype(wT.dtype) if wT.dtype != dgates.dtype else dgates
+            dh_rec[c] = jnp.dot(dg, wT, preferred_element_type=jnp.float32)
+            dc[c] = dct * gf
+
+        for c in range(C):
+            out_dma(slot, k, c).start()
+        return ()
+
+    lax.fori_loop(0, T, body, ())
+
+    @pl.when(T >= 2)
+    def _():
+        for c in range(C):
+            out_dma(lax.rem(T - 2, 2), T - 2, c).wait()
+
+    for c in range(C):
+        out_dma(lax.rem(T - 1, 2), T - 1, c).wait()
+
+
+def _bptt_dir_call(pack, w_hh_T, dirs, out_dtype=jnp.float32):
+    T, C, B, H7 = pack.shape
+    H = H7 // 7
+    kernel = functools.partial(_bptt_dir_kernel, T=T, C=C, dirs=tuple(dirs))
+    out_size = jnp.dtype(out_dtype).itemsize
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, C, B, 4 * H), out_dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, B, H7), pack.dtype),
+            pltpu.VMEM((2, C, B, 4 * H), out_dtype),
+            pltpu.VMEM((C, B, H), jnp.float32),
+            pltpu.VMEM((C, B, H), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, C)),
+            pltpu.SemaphoreType.DMA((2, C)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * C * B * 4 * H * H,
+            bytes_accessed=T * C * B * H7 * pack.dtype.itemsize
+            + T * C * B * 4 * H * out_size
+            + C * 4 * H * H * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(pack, w_hh_T.astype(_kernel_weight_dtype()))
+
+
+def _shift_per_dir(a, dirs):
+    """Previous-state view of a real-time-ordered (T, C, B, ·) history:
+    forward chains see a[t-1] (zero at t=0), backward chains a[t+1]
+    (zero at t=T-1)."""
+    zeros = jnp.zeros_like(a[:1])
+    down = jnp.concatenate([zeros, a[:-1]], axis=0)  # fwd chains
+    up = jnp.concatenate([a[1:], zeros], axis=0)  # bwd chains
+    mask = jnp.asarray(dirs, dtype=bool)[None, :, None, None]
+    return jnp.where(mask, up, down)
+
+
+def _dir_bwd(dirs, residuals, g):
+    x_projs, w_hh, hs, cs, dt_marker = residuals
+    T, C, B, H = hs.shape
+    sd = hs.dtype
+
+    # batched gate recomputation: y = hs @ w_hh once, then the per-chain
+    # previous-state shift applies to y (matmul commutes with time shift)
+    y = jnp.einsum("tcbh,chg->tcbg", hs, w_hh, preferred_element_type=jnp.float32)
+    x4 = jnp.stack(x_projs, axis=1).astype(jnp.float32)  # (T, C, B, 4H)
+    gates = x4 + _shift_per_dir(y, dirs)
+    gi = jax.nn.sigmoid(gates[..., :H])
+    gf = jax.nn.sigmoid(gates[..., H : 2 * H])
+    gg = jnp.tanh(gates[..., 2 * H : 3 * H])
+    go = jax.nn.sigmoid(gates[..., 3 * H :])
+    tanh_c = jnp.tanh(cs.astype(jnp.float32))
+    c_prev = _shift_per_dir(cs, dirs).astype(jnp.float32)
+
+    pack = jnp.concatenate(
+        [p.astype(sd) for p in (g, gi, gf, gg, go, tanh_c, c_prev)], axis=-1
+    )
+    w_hh_T = jnp.swapaxes(w_hh, 1, 2)  # (C, 4H, H)
+    dgates = _bptt_dir_call(pack, w_hh_T, dirs, out_dtype=dt_marker.dtype)
+
+    h_prev = _shift_per_dir(hs, dirs)
+    dw_hh = jnp.einsum(
+        "tcbh,tcbg->chg", h_prev, dgates, preferred_element_type=jnp.float32
+    )
+    dx_projs = tuple(dgates[:, c] for c in range(C))
+    return dx_projs, dw_hh
+
+
+_dir_recurrence.defvjp(_dir_fwd, _dir_bwd)
+
+
+def _use_dir_dma() -> bool:
+    """Direction-aware per-chain DMA kernels — default on (round 3).
+
+    ``PEX_LSTM_DIRDMA=0`` falls back to the stacked-pack kernels (caller
+    flips + interleave copy)."""
+    import os
+
+    flag = os.environ.get("PEX_LSTM_DIRDMA", "1")
+    return flag not in ("0", "false", "off", "")
+
+
+def multichain_lstm_dir(x_projs, w_hh, dirs):
+    """C-chain fused recurrence over per-chain projection arrays.
+
+    Args:
+      x_projs: tuple of C (T, B, 4H) arrays, ALL in real time order.
+      w_hh: (C, H, 4H) recurrent weights.
+      dirs: tuple of C ints — 0 = forward chain, 1 = backward chain.
+
+    Returns (T, C, B, H) hidden states in real time order (backward chains
+    already un-flipped).
+    """
+    padded = [_pad_batch(x) for x in x_projs]
+    B = padded[0][1]
+    hs = _dir_recurrence(tuple(dirs), tuple(p[0] for p in padded), w_hh)
+    return hs[:, :, :B]

@@ -252,3 +252,98 @@ def test_bf16_proj_training_path(monkeypatch):
     b = np.concatenate([np.asarray(l).ravel() for l in jax.tree_util.tree_leaves(g_ref)])
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
     assert cos > 0.995
+
+
+# ---------------------------------------------------------------------------
+# Direction-aware per-chain DMA kernels (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _dir_inputs(T=12, B=8, H=16, C=4, seed=7):
+    rng = np.random.default_rng(seed)
+    xs = tuple(
+        jnp.asarray(0.3 * rng.standard_normal((T, B, 4 * H)), jnp.float32)
+        for _ in range(C)
+    )
+    w = jnp.asarray(0.3 * rng.standard_normal((C, H, 4 * H)), jnp.float32)
+    return xs, w
+
+
+def test_multichain_dir_matches_flip_path():
+    """The direction-aware kernel must equal the stacked-pack kernel fed
+    caller-flipped inputs (values in real time order both ways)."""
+    xs, w = _dir_inputs()
+    dirs = (0, 1, 0, 1)
+    hs_dir = m.multichain_lstm_dir(xs, w, dirs)
+
+    xp4 = jnp.stack(
+        [xs[0], jnp.flip(xs[1], axis=0), xs[2], jnp.flip(xs[3], axis=0)], axis=1
+    )
+    hs_ref = m.multichain_lstm_pallas(xp4, w)
+    ref_aligned = jnp.stack(
+        [
+            hs_ref[:, 0],
+            jnp.flip(hs_ref[:, 1], axis=0),
+            hs_ref[:, 2],
+            jnp.flip(hs_ref[:, 3], axis=0),
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(np.asarray(hs_dir), np.asarray(ref_aligned), atol=1e-5)
+
+
+def test_multichain_dir_matches_scan_per_chain():
+    xs, w = _dir_inputs(C=2)
+    dirs = (0, 1)
+    hs = m.multichain_lstm_dir(xs, w, dirs)
+    fwd_ref = _scan_reference(xs[0], w[0])
+    bwd_ref = jnp.flip(_scan_reference(jnp.flip(xs[1], axis=0), w[1]), axis=0)
+    np.testing.assert_allclose(np.asarray(hs[:, 0]), np.asarray(fwd_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hs[:, 1]), np.asarray(bwd_ref), atol=1e-5)
+
+
+def test_multichain_dir_gradients():
+    """Custom VJP of the dir kernel vs autodiff of the scan reference."""
+    xs, w = _dir_inputs(T=10, B=8, H=8, C=2, seed=9)
+    dirs = (0, 1)
+
+    def loss_dir(xs, w):
+        hs = m.multichain_lstm_dir(xs, w, dirs)
+        return jnp.sum(jnp.sin(hs))
+
+    def loss_ref(xs, w):
+        fwd = _scan_reference(xs[0], w[0])
+        bwd = jnp.flip(_scan_reference(jnp.flip(xs[1], axis=0), w[1]), axis=0)
+        hs = jnp.stack([fwd, bwd], axis=1)
+        return jnp.sum(jnp.sin(hs))
+
+    gd = jax.grad(loss_dir, argnums=(0, 1))(xs, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(xs, w)
+    for a, b in zip(jax.tree_util.tree_leaves(gd), jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fused_heads_dir_matches_disabled(monkeypatch):
+    """JDCNet fused path: dir-DMA on vs off must agree (eval mode)."""
+    import pitchextractor_tpu.models.sequence as seq
+    import pitchextractor_tpu.models.jdc as jdc_mod
+
+    from pitchextractor_tpu.models import JDCNet
+
+    model = JDCNet(
+        num_class=1,
+        sequence_model_config={"model_type": "bilstm", "num_layers": 2, "hidden_size": 16, "dropout": 0.0},
+    )
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 12, 80, 1)), jnp.float32)
+    monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: False)
+    monkeypatch.setattr(jdc_mod, "_lstm_use_pallas", lambda: False)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    monkeypatch.setattr(seq, "_lstm_use_pallas", lambda: True)
+    monkeypatch.setattr(jdc_mod, "_lstm_use_pallas", lambda: True)
+    monkeypatch.setenv("PEX_LSTM_DIRDMA", "1")
+    f0_dir, v_dir = model.apply(variables, x, train=False)
+    monkeypatch.setenv("PEX_LSTM_DIRDMA", "0")
+    f0_off, v_off = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(f0_dir), np.asarray(f0_off), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_dir), np.asarray(v_off), atol=1e-5)
