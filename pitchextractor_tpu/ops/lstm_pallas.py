@@ -37,6 +37,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests to run the kernel on CPU
 
+# Active multi-device mesh for data-parallel kernel execution (set by the
+# Trainer).  pallas_call defines no SPMD partitioning rule, so under a
+# sharded mesh the recurrence entry points below wrap themselves in
+# ``shard_map`` over the mesh's data axis: every device runs the kernel on
+# its local batch shard — exactly the right decomposition for DP (the
+# recurrence is independent per batch row).  Under model parallelism the
+# Trainer disables the Pallas path entirely (lax.scan fallback).
+_ACTIVE_MESH = None
+
+
+def set_sharding_mesh(mesh) -> None:
+    """Install (or clear, with ``None``) the mesh the recurrence kernels
+    shard over.  Call with a multi-device pure-DP mesh; single-device meshes
+    are treated as None."""
+    global _ACTIVE_MESH
+    if mesh is not None and mesh.devices.size <= 1:
+        mesh = None
+    _ACTIVE_MESH = mesh
+
+
+def _shard_over_batch(local_fn, args, in_specs, out_specs, batch_size):
+    """Run ``local_fn`` under shard_map over the active mesh's data axis,
+    or directly when no mesh is installed (or the batch doesn't divide the
+    data axis — e.g. the Trainer's tiny ``model.init`` dummy)."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return local_fn(*args)
+    from ..parallel.mesh import DATA_AXIS
+
+    n_data = int(mesh.shape[DATA_AXIS])
+    if batch_size % n_data != 0:
+        return local_fn(*args)
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+    )(*args)
+
 
 def _use_bf16_matmuls() -> bool:
     """bf16 gate matmuls inside the kernels (f32 accumulate) — default on.
@@ -642,10 +680,9 @@ def bilstm_layer_pallas(
     matching ``concat([fwd, flip(bwd)], -1)``.
     """
     w2 = jnp.stack([w_hh_fwd, w_hh_bwd], axis=0)
-    x_proj, B = _pad_batch(x_proj)
-    hs = _bilstm_recurrence(x_proj, w2)  # (T, 2, B, H)
-    fwd = hs[:, 0, :B]
-    bwd = jnp.flip(hs[:, 1, :B], axis=0)
+    hs = multichain_lstm_pallas(x_proj, w2)  # (T, 2, B, H); DP-sharded if mesh set
+    fwd = hs[:, 0]
+    bwd = jnp.flip(hs[:, 1], axis=0)
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 
@@ -669,12 +706,25 @@ def lstm_layer_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray, reverse: bool = Fa
 
     Returns: (T, B, H) hidden states.
     """
-    x_proj, B = _pad_batch(x_proj)
-    if reverse:
-        out = jnp.flip(_lstm_recurrence(jnp.flip(x_proj, axis=0), w_hh), axis=0)
-    else:
-        out = _lstm_recurrence(x_proj, w_hh)
-    return out[:, :B]
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    def local(xp, w):
+        xp, B = _pad_batch(xp)
+        if reverse:
+            out = jnp.flip(_lstm_recurrence(jnp.flip(xp, axis=0), w), axis=0)
+        else:
+            out = _lstm_recurrence(xp, w)
+        return out[:, :B]
+
+    return _shard_over_batch(
+        local,
+        (x_proj, w_hh),
+        in_specs=(P(None, DATA_AXIS, None), P()),
+        out_specs=P(None, DATA_AXIS, None),
+        batch_size=x_proj.shape[1],
+    )
 
 
 def multichain_lstm_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
@@ -684,8 +734,21 @@ def multichain_lstm_pallas(x_proj: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarra
     for direction fusion (C=2) and cross-head fusion (C=4, models/jdc.py).
     Time-flipped chains must be flipped by the caller before and after.
     """
-    x_proj, B = _pad_batch(x_proj)
-    return _bilstm_recurrence(x_proj, w_hh)[:, :, :B]
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    def local(xp, w):
+        xp, B = _pad_batch(xp)
+        return _bilstm_recurrence(xp, w)[:, :, :B]
+
+    return _shard_over_batch(
+        local,
+        (x_proj, w_hh),
+        in_specs=(P(None, None, DATA_AXIS, None), P()),
+        out_specs=P(None, None, DATA_AXIS, None),
+        batch_size=x_proj.shape[2],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1040,7 +1103,22 @@ def multichain_lstm_dir(x_projs, w_hh, dirs):
     Returns (T, C, B, H) hidden states in real time order (backward chains
     already un-flipped).
     """
-    padded = [_pad_batch(x) for x in x_projs]
-    B = padded[0][1]
-    hs = _dir_recurrence(tuple(dirs), tuple(p[0] for p in padded), w_hh)
-    return hs[:, :, :B]
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    dirs = tuple(dirs)
+
+    def local(xs, w):
+        padded = [_pad_batch(x) for x in xs]
+        B = padded[0][1]
+        hs = _dir_recurrence(dirs, tuple(p[0] for p in padded), w)
+        return hs[:, :, :B]
+
+    return _shard_over_batch(
+        local,
+        (tuple(x_projs), w_hh),
+        in_specs=(tuple(P(None, DATA_AXIS, None) for _ in x_projs), P()),
+        out_specs=P(None, None, DATA_AXIS, None),
+        batch_size=x_projs[0].shape[1],
+    )

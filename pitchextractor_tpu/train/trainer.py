@@ -132,6 +132,13 @@ class Trainer:
             # the Pallas recurrence kernel cannot be partitioned by the XLA
             # sharding pass — fall back to the lax.scan path under TP
             os.environ["PEX_DISABLE_PALLAS_LSTM"] = "1"
+        else:
+            # pure data parallelism: the kernels shard themselves over the
+            # mesh's data axis via shard_map (each device runs its batch
+            # shard — the recurrence is independent per batch row)
+            from ..ops.lstm_pallas import set_sharding_mesh
+
+            set_sharding_mesh(self.mesh)
         if not self.use_mixed_precision:
             # fp32 mode means fp32 everywhere: opt the Pallas kernels out of
             # their default bf16 gate matmuls (parity/oracle runs)
