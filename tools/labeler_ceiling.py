@@ -53,12 +53,41 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from pitchextractor_tpu.dsp.filters import (
+        apply_microphone_eq,
+        apply_rir,
+        synthesize_rir,
+    )
     from pitchextractor_tpu.eval.metrics import compute_metrics, rms_cents_error
-    from pitchextractor_tpu.eval.stimuli import glide_bank, vibrato_bank
+    from pitchextractor_tpu.eval.stimuli import (
+        glide_bank,
+        render_bank,
+        vibrato_bank,
+        wander_curve,
+    )
     from pitchextractor_tpu.labels import build_f0_extractor
 
     vib_bank, vib_tags = vibrato_bank(RATES, DEPTHS, BASE_HZ, VIB_DURATION, SR)
     gli_bank, gli_tags = glide_bank(GLIDE_DURATIONS, 60.0, 500.0, SR)
+
+    # room/mic grid (round-3 VERDICT #6): identical stimulus + degradations
+    # to eval/suites.room_mic_suite, so the trackers' RPA here IS the oracle
+    # ceiling for the suite's t60/mic rows (the t60 0.6 plateau question)
+    room_curve = wander_curve(220.0, 0.3, 1.0, 2.0, SR)
+    room_bank = render_bank(room_curve, [len(room_curve)], SR)
+    room_clean = room_bank.audio[0]
+    room_waves = [("dry", room_clean)]
+    for i, t60 in enumerate((0.15, 0.3, 0.6, 1.0)):
+        room_waves.append(
+            (f"t60_{t60}", apply_rir(room_clean, synthesize_rir(SR, float(t60), seed=i)))
+        )
+    for pname, stages in (
+        ("telephone", [{"center_freq": 300.0, "gain_db": -12.0},
+                       {"center_freq": 3000.0, "gain_db": 6.0}]),
+        ("boomy", [{"center_freq": 120.0, "gain_db": 9.0},
+                   {"center_freq": 5000.0, "gain_db": -6.0}]),
+    ):
+        room_waves.append((pname, apply_microphone_eq(room_clean, SR, stages)))
 
     rows = []
     for name in args.backends.split(","):
@@ -80,7 +109,7 @@ def main() -> None:
             for i, tag in enumerate(tags):
                 audio = np.asarray(waveforms[i], dtype=np.float32)
                 n_frames = 1 + len(audio) // HOP
-                ref = bank.frame_reference_row(i, n_frames)
+                ref = bank.frame_reference_row(i, n_frames, HOP)
                 try:
                     res = ext.compute(audio, SR)
                     pred = ext.align_length(res.f0, n_frames)
@@ -98,9 +127,30 @@ def main() -> None:
                     }
                 )
                 print(rows[-1], flush=True)
+        for condition, audio in room_waves:
+            audio = np.asarray(audio, dtype=np.float32)
+            n_frames = 1 + len(audio) // HOP
+            ref = room_bank.frame_reference_row(0, n_frames, HOP)
+            try:
+                res = ext.compute(audio, SR)
+                pred = ext.align_length(res.f0, n_frames)
+            except Exception as exc:
+                print(f"[fail] {name} room {condition}: {exc}")
+                continue
+            m = compute_metrics(ref, np.asarray(pred))
+            rows.append(
+                {
+                    "backend": name,
+                    "suite": "room_mic",
+                    "condition": condition,
+                    "RPA": round(float(m["RPA"]), 4),
+                    "RMSE_cents": round(rms_cents_error(ref, np.asarray(pred)), 1),
+                }
+            )
+            print(rows[-1], flush=True)
 
     os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
-    keys = ["backend", "suite", "rate_hz", "depth_cents", "duration_s", "RPA", "RMSE_cents"]
+    keys = ["backend", "suite", "rate_hz", "depth_cents", "duration_s", "condition", "RPA", "RMSE_cents"]
     with open(args.csv, "w", newline="") as fh:
         writer = csv.DictWriter(fh, fieldnames=keys)
         writer.writeheader()
