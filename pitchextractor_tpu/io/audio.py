@@ -221,12 +221,17 @@ def read_audio(
     if count <= 0:
         data = np.zeros((0, info.channels), dtype=np.float32)
     elif info.format_tag == FORMAT_FLAC:
-        from .flac import FlacError, read_flac
+        # native C++ decoder (native/pexio.cpp, ~80x the Python fallback)
+        from .native import native_read
 
-        try:
-            data, _rate = read_flac(path, start, count)
-        except (FlacError, OSError) as exc:
-            raise AudioDecodeError(f"failed to decode FLAC '{path}': {exc}") from exc
+        data = native_read(path, start, count, info.channels)
+        if data is None:
+            from .flac import FlacError, read_flac
+
+            try:
+                data, _rate = read_flac(path, start, count)
+            except (FlacError, OSError) as exc:
+                raise AudioDecodeError(f"failed to decode FLAC '{path}': {exc}") from exc
     else:
         # native C++ fast path (native/pexio.cpp) with transparent fallback
         from .native import native_read

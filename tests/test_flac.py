@@ -243,3 +243,49 @@ def test_dataset_e2e_on_flac_list(tmp_path):
     assert np.count_nonzero(f0) > 5
     mel2, f02, _ = ds[1]
     assert np.count_nonzero(f02) > 5
+
+
+def test_native_decoder_matches_python(tmp_path):
+    """native/pexio.cpp FLAC path must be sample-exact vs io/flac.py on
+    every stereo mode and on partial reads (skips if the lib can't build)."""
+    from pitchextractor_tpu.io.native import native_read
+
+    rng = np.random.default_rng(9)
+    t = np.arange(int(SR * 1.1)) / SR
+    st = np.stack(
+        [
+            0.5 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.standard_normal(len(t)),
+            0.5 * np.sin(2 * np.pi * 220 * t + 0.7) + 0.05 * rng.standard_normal(len(t)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    p = str(tmp_path / "nm.flac")
+    write_flac(p, st, SR, stereo_mode="mid_side")
+    nat = native_read(p, 0, len(st), 2)
+    if nat is None:
+        pytest.skip("native pexio library unavailable")
+    ref, _ = read_flac(p)
+    np.testing.assert_array_equal(nat, ref.astype(np.float32))
+    nat2 = native_read(p, 4000, 2000, 2)
+    ref2, _ = read_flac(p, start=4000, frames=2000)
+    np.testing.assert_array_equal(nat2, ref2.astype(np.float32))
+
+
+def test_native_prefetch_pool_decodes_flac(tmp_path):
+    """The decode+resample prefetch pool (bulk labeling's front-end) handles
+    FLAC jobs natively now."""
+    try:
+        from pitchextractor_tpu.io.native import NativePrefetchPool
+        pool = NativePrefetchPool(n_threads=1)
+    except (RuntimeError, ImportError):
+        pytest.skip("native pexio library unavailable")
+    x = _tone(seconds=0.6)
+    p = str(tmp_path / "pp.flac")
+    write_flac(p, x, SR)
+    try:
+        job = pool.submit(p, target_sr=SR, orig_sr=SR)
+        wave, sr = pool.wait(job)
+    finally:
+        pool.close()
+    assert sr == SR
+    np.testing.assert_array_equal(_pcm16(wave), _pcm16(x))
