@@ -26,7 +26,7 @@ import numpy as np
 
 
 def _bench_train_step(
-    batch_size=64, T=192, steps=50, warmup=5, windows=5, seq_cfg=None
+    batch_size=64, T=192, steps=50, warmup=5, windows=9, seq_cfg=None
 ):
     """Median-of-windows training throughput with fresh host batches.
 
@@ -34,7 +34,10 @@ def _bench_train_step(
     ``windows`` back-to-back windows (the remote tunnel has ~±20% run-to-run
     variance), and every step consumes a *different* host batch from a
     rotating pool so the measurement pays the per-step host->device
-    transfer the real training loop pays.
+    transfer the real training loop pays.  Round 3 lengthened the default
+    budget to 9 windows (~30 s of timed stepping at the flagship step time)
+    so the hour-scale tunnel drift averages out — the per-window rates are
+    recorded in bench_details.json so drift stays visible.
     """
     import jax
 

@@ -1082,13 +1082,21 @@ _dir_recurrence.defvjp(_dir_fwd, _dir_bwd)
 
 
 def _use_dir_dma() -> bool:
-    """Direction-aware per-chain DMA kernels — default on (round 3).
+    """Direction-aware per-chain DMA kernels — default OFF (measured loss).
 
-    ``PEX_LSTM_DIRDMA=0`` falls back to the stacked-pack kernels (caller
-    flips + interleave copy)."""
+    The design eliminates the caller-side flips and the pack interleave
+    (~4 ms/step of glue in the round-3 leg-1 trace) by giving every chain
+    its own HBM ref and time direction in the DMA index math — but the real
+    chip measured it 8.7 ms/step SLOWER (847.6 vs 958.1 utt/s at B=64,
+    results/round3/bench_leg2_*.json, repeated): 3C small per-chain DMA
+    issues per step (4x 196 KB in + 8x 49 KB out) lose more to DMA issue
+    overhead and semaphore serialization than the single-slab transfers
+    saved in glue.  Kept opt-in (``PEX_LSTM_DIRDMA=1``) as the measured
+    negative result so it is not retried blindly; the shipped path is the
+    stacked-pack kernel fed by the (cheap, fusable) flip+stack."""
     import os
 
-    flag = os.environ.get("PEX_LSTM_DIRDMA", "1")
+    flag = os.environ.get("PEX_LSTM_DIRDMA", "0")
     return flag not in ("0", "false", "off", "")
 
 
