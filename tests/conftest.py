@@ -5,6 +5,8 @@ runnable on CPU) — the env vars must be set before the first jax import.
 """
 
 import os
+
+import pytest
 import sys
 
 # Force CPU: the ambient environment may pin JAX_PLATFORMS to a real TPU
@@ -25,3 +27,16 @@ if REPO_ROOT not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_sharding_mesh():
+    """Trainer installs the recurrence kernels' DP mesh process-globally
+    (ops/lstm_pallas.set_sharding_mesh — one Trainer per process in
+    production); tests construct many Trainers over different meshes, so
+    clear it after every test or Pallas entry points shard over a stale
+    mesh from an earlier test."""
+    yield
+    from pitchextractor_tpu.ops.lstm_pallas import set_sharding_mesh
+
+    set_sharding_mesh(None)
