@@ -182,8 +182,8 @@ def mdct_codec_roundtrip(
     step_bins = step[:, band_of_bin]
     audible = (bits[:, band_of_bin] >= 0.5).astype(np.float64)  # <0.5 bit: band zeroed
     q = np.round(X / step_bins)
-    if rng is not None:
-        q += rng.integers(0, 2, size=q.shape) * 0.0  # reserved for dither variants
+    if rng is not None:  # optional TPDF-ish dither for decorrelated noise
+        q = np.round(X / step_bins + rng.uniform(-0.5, 0.5, size=X.shape))
     Xq = q * step_bins * audible
 
     # --- synthesis: IMDCT + overlap-add ----------------------------------

@@ -742,11 +742,7 @@ def _utf8_number_bytes(value: int) -> List[int]:
     if value < 0x80:
         return [value]
     out = []
-    bits = value.bit_length()
-    nbytes = 2
-    while bits > 5 * nbytes - (nbytes - 1) + 1:  # capacity: (7-nbytes)+6*(nbytes-1)
-        nbytes += 1
-    # capacity check, simpler: find smallest n with value < 2^(6*(n-1) + (7-n))
+    # smallest n-byte encoding: payload capacity is (7-n) + 6*(n-1) bits
     nbytes = 2
     while value >= (1 << (6 * (nbytes - 1) + (7 - nbytes))):
         nbytes += 1
