@@ -69,11 +69,19 @@ def _shard_over_batch(local_fn, args, in_specs, out_specs, batch_size):
     n_data = int(mesh.shape[DATA_AXIS])
     if batch_size % n_data != 0:
         return local_fn(*args)
-    from jax.experimental.shard_map import shard_map
+    try:  # jax >= 0.8 promotes shard_map out of experimental (check_vma kwarg)
+        from jax import shard_map
 
-    return shard_map(
-        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
-    )(*args)
+        mapped = shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except ImportError:  # pragma: no cover - older jaxlib
+        from jax.experimental.shard_map import shard_map
+
+        mapped = shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
+    return mapped(*args)
 
 
 def _use_bf16_matmuls() -> bool:
