@@ -133,19 +133,22 @@ def run(config_path: str, max_steps=None) -> int:
     # or pre-empted earlier attempt of the *same* run), restore the newest one
     # with full optimizer/step state and continue the epoch loop from there.
     # The reference has no notion of resume (train.py restarts from scratch);
-    # long TPU runs need one.  ``pretrained_model`` still wins when set — that
-    # is a warm-start from a *different* run, not a resume.
+    # long TPU runs need one.  ``pretrained_model`` applies only on the run's
+    # FIRST launch: once the run dir holds its own checkpoints, a relaunch
+    # (crash / RSS-guard rc=42 / babysitter restart) must resume them — not
+    # warm-start from scratch again, which would silently discard the stage's
+    # progress on every restart of a fine-tune run.
     from .infer import latest_checkpoint
 
     resume_path = latest_checkpoint(log_dir)
-    if config.get("pretrained_model", ""):
+    if resume_path is not None:
+        logger.info("auto-resuming from %s", resume_path)
+        trainer.load_checkpoint(resume_path, load_only_params=False)
+    elif config.get("pretrained_model", ""):
         trainer.load_checkpoint(
             config["pretrained_model"],
             load_only_params=config.get("load_only_params", True),
         )
-    elif resume_path is not None:
-        logger.info("auto-resuming from %s", resume_path)
-        trainer.load_checkpoint(resume_path, load_only_params=False)
 
     # cache warm-up (reference train.py:127-133).  F0 cache misses are filled
     # first by batched on-device labeling (labels/bulk.py — one tracker
