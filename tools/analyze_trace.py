@@ -14,23 +14,19 @@ from __future__ import annotations
 
 import argparse
 import collections
-import glob
 import gzip
 import json
 import os
-import re
+import sys
 
-V5E_HBM_GBPS = 819.0  # v5e HBM peak
-V5E_BF16_TFLOPS = 197.0  # v5e MXU bf16 peak
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def find_trace(path: str) -> str:
-    if os.path.isfile(path):
-        return path
-    hits = sorted(glob.glob(os.path.join(path, "**", "*.trace.json.gz"), recursive=True))
-    if not hits:
-        raise SystemExit(f"no *.trace.json.gz under {path}")
-    return hits[-1]
+from pitchextractor_tpu.utils.trace_summary import (  # noqa: E402
+    V5E_BF16_TFLOPS,
+    V5E_HBM_GBPS,
+    find_trace,
+    parse_device_ops,
+)
 
 
 def main():
@@ -44,43 +40,11 @@ def main():
     with gzip.open(find_trace(args.trace)) as fh:
         trace = json.load(fh)
 
-    pids = {
-        e["pid"]: e["args"].get("name", "")
-        for e in trace["traceEvents"]
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    dev_pids = {p for p, n in pids.items() if "TPU" in n or "GPU" in n}
-    if not dev_pids:
-        dev_pids = set(pids)
-
-    rows = {}
+    rows = parse_device_ops(trace)
     cats = collections.Counter()
-    total_us = 0
-    for e in trace["traceEvents"]:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
-        name = e.get("name", "?")
-        if name.startswith("jit_") or re.fullmatch(r"\d+", name):
-            continue
-        a = e.get("args") or {}
-        dur = e.get("dur", 0)
-        if not a and "." not in name and not name.startswith(("fusion", "copy")):
-            continue  # scope markers (named_scope annotations)
-        if "device_duration_ps" not in a and "bytes_accessed" not in a:
-            continue
-        total_us += dur
-        cat = a.get("hlo_category", "?")
-        cats[cat] += dur
-        r = rows.setdefault(
-            name,
-            {"us": 0, "count": 0, "bytes": 0, "flops": 0,
-             "cat": cat,
-             "src": a.get("source", ""), "tf_op": a.get("tf_op", "")},
-        )
-        r["us"] += dur
-        r["count"] += 1
-        r["bytes"] += int(a.get("bytes_accessed", 0) or 0)
-        r["flops"] += int(a.get("model_flops", 0) or 0)
+    for r in rows.values():
+        cats[r["cat"]] += r["us"]
+    total_us = sum(r["us"] for r in rows.values())
 
     n = args.steps
     print(f"device op time: {total_us / n / 1e3:.2f} ms/step ({len(rows)} distinct ops)\n")
