@@ -303,6 +303,54 @@ class PyWorldBackend(BaseF0Backend):
         return f0.astype(np.float64)
 
 
+class DioStyleBackend(BaseF0Backend):
+    """In-tree dio-style tracker (labels/dio.py) — the executable equivalent
+    of the reference's default ``harvest``→``dio`` chain
+    (reference f0_backends.py:109-148) for images without pyworld.
+
+    Host/numpy by design (see labels/dio.py); config schema accepts both the
+    framework's ``fmin``/``fmax`` and WORLD's ``f0_floor``/``f0_ceil`` names.
+    """
+
+    backend_type = "dio"
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.fmin = self._coerce_float(
+            "fmin", self._coerce_float("f0_floor", 40.0)
+        )
+        self.fmax = self._coerce_float(
+            "fmax", self._coerce_float("f0_ceil", 800.0)
+        )
+        self.bands_per_octave = int(self.config.get("bands_per_octave", 2) or 2)
+        self.reliability_threshold = self._coerce_float("reliability_threshold", 0.12)
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        from .dio import dio_style_track
+
+        sr = int(sr or self.sample_rate)
+        waveform = np.asarray(audio, dtype=np.float64).reshape(-1)
+        if waveform.size == 0:
+            raise BackendComputationError("dio: empty audio")
+        hop = max(1, int(round(self.frame_period_ms * sr / 1000.0)))
+        try:
+            f0 = dio_style_track(
+                waveform,
+                sr,
+                hop,
+                fmin=self.fmin,
+                fmax=self.fmax,
+                bands_per_octave=self.bands_per_octave,
+                reliability_threshold=self.reliability_threshold,
+            )
+        except BackendComputationError:
+            raise
+        except Exception as exc:  # pragma: no cover - defensive
+            raise BackendComputationError(f"dio tracking failed: {exc}") from exc
+        self.log(f"dio analysed {f0.shape[0]} frames at sr={sr}.")
+        return f0.astype(np.float64)
+
+
 class CrepeBackend(BaseF0Backend):
     """CREPE CNN in flax, batched on TPU (reference f0_backends.py:151-349).
 

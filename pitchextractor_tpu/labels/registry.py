@@ -14,6 +14,7 @@ from typing import Dict, Optional, Tuple, Type
 from .base import BaseF0Backend
 from .backends import (
     CrepeBackend,
+    DioStyleBackend,
     JaxACBackend,
     JaxYinBackend,
     JDCBackend,
@@ -33,6 +34,10 @@ BACKEND_REGISTRY: Dict[str, Type[BaseF0Backend]] = {
     "jax_pyin": JaxPyinBackend,
     "pyin": JaxPyinBackend,
     "jdc": JDCBackend,
+    # in-tree equivalent of the reference default harvest->dio chain
+    # (f0_backends.py:109-148); works without pyworld installed
+    "dio": DioStyleBackend,
+    "world_dio": DioStyleBackend,
     # reference-compatible backend types (f0_backends.py:587-593)
     "pyworld": PyWorldBackend,
     "crepe": CrepeBackend,

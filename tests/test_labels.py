@@ -595,3 +595,58 @@ def test_extractor_accepts_dataset_params_shape():
     cfg = {"f0_params": {"backend_order": ["jax_yin"], "backends": {"jax_yin": {"enabled": True}}}}
     ext = build_f0_extractor(SR, HOP, cfg)
     assert [b.name for b in ext.backends] == ["jax_yin"]
+
+
+# ------------------------------------------------------------- dio backend
+def test_dio_backend_pure_tone_accuracy():
+    """Accuracy gate (VERDICT r3 #7): the in-tree dio-style equivalent of the
+    reference's default harvest->dio chain (f0_backends.py:109-148) must
+    track clean analytic tones to <50 cents median error."""
+    cfg = {"backend_order": ["dio"], "backends": {"dio": {"enabled": True}}}
+    ext = build_f0_extractor(SR, HOP, cfg)
+    for freq in (110.0, 220.0, 440.0):
+        result = ext.compute(_tone(freq))
+        assert result.backend_name == "dio"
+        voiced = result.f0[result.f0 > 0]
+        assert voiced.size >= 5
+        cents = 1200 * np.abs(np.log2(voiced / freq))
+        assert np.median(cents) < 50
+
+
+def test_dio_backend_vibrato_and_silence():
+    wav, ref = _vibrato(base=220.0, depth_cents=80.0)
+    cfg = {"backend_order": ["dio"], "backends": {"dio": {"enabled": True}}}
+    ext = build_f0_extractor(SR, HOP, cfg)
+    f0 = ext.compute(wav).f0
+    ref_frames = ref[:: HOP][: len(f0)]
+    assert _rpa(f0[: len(ref_frames)], ref_frames) > 0.8
+    # silence: the backend itself returns an all-unvoiced contour (the
+    # cascade would then fall through / raise per bad_f0_threshold)
+    silence = ext.backends[0].compute(np.zeros(SR, dtype=np.float32) + 1e-7)
+    assert np.count_nonzero(silence) <= 2
+
+
+def test_dio_in_cascade_with_world_names_and_cache_identifier():
+    """dio participates in the cascade under both registered names and
+    contributes its cache key to the chain identifier."""
+    cfg = {
+        "backend_order": ["pyworld_harvest", "world_dio"],
+        "backends": {
+            "pyworld_harvest": {"type": "pyworld", "enabled": True},  # not installed -> skipped
+            "world_dio": {"type": "world_dio", "enabled": True, "f0_floor": 60.0, "f0_ceil": 500.0},
+        },
+    }
+    ext = build_f0_extractor(SR, HOP, cfg)
+    assert [b.name for b in ext.backends] == ["world_dio"]
+    assert ext.backends[0].fmin == 60.0 and ext.backends[0].fmax == 500.0
+    assert "world_dio" in ext.cache_identifier
+    result = ext.compute(_tone(220.0))
+    assert result.backend_name == "world_dio"
+
+
+def test_dio_empty_audio_raises():
+    from pitchextractor_tpu.labels.backends import DioStyleBackend
+
+    backend = DioStyleBackend("dio", SR, HOP, config={})
+    with pytest.raises(BackendComputationError):
+        backend.compute(np.zeros((0,), dtype=np.float32))

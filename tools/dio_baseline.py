@@ -5,8 +5,9 @@ The reference's default cache-warmup labels every utterance on CPU through
 WORLD harvest/dio (reference f0_backends.py:109-148, README.md:41-47 — slow
 enough that the reference *requires* disk caches).  pyworld is not installed
 in this image, so rounds 1-2 could only cite literature RTFs for the >=10x
-on-device labeling claim.  This tool implements a dio-style tracker in
-numpy — the same computational skeleton as WORLD's DIO (Morise 2009):
+on-device labeling claim.  This tool times the package's dio-style tracker
+(pitchextractor_tpu/labels/dio.py, registry backend type "dio") — the same
+computational skeleton as WORLD's DIO (Morise 2009):
 
   1. a bank of low-pass filtered copies of the signal, one per candidate
      octave band (FFT-domain Nuttall-windowed low-pass, as DIO does),
@@ -40,76 +41,9 @@ import click
 import numpy as np
 
 
-def _lowpass(x: np.ndarray, sr: int, cutoff: float) -> np.ndarray:
-    """FFT-domain low-pass with a raised-cosine rolloff around the cutoff."""
-    n = len(x)
-    spec = np.fft.rfft(x)
-    freqs = np.fft.rfftfreq(n, 1.0 / sr)
-    gain = 0.5 * (1.0 + np.cos(np.pi * np.clip(freqs / max(cutoff, 1.0) - 0.5, 0.0, 1.0)))
-    gain[freqs <= 0.5 * cutoff] = 1.0
-    gain[freqs >= 1.5 * cutoff] = 0.0
-    return np.fft.irfft(spec * gain, n)
-
-
-def _interval_f0(positions: np.ndarray, times: np.ndarray, frame_times: np.ndarray):
-    """Per-frame F0 from successive event positions (one interval type)."""
-    if len(positions) < 2:
-        return np.zeros_like(frame_times)
-    t = times[positions]
-    f = 1.0 / np.maximum(np.diff(t), 1e-6)
-    centers = 0.5 * (t[:-1] + t[1:])
-    return np.interp(frame_times, centers, f, left=0.0, right=0.0)
-
-
-def dio_style_track(
-    x: np.ndarray,
-    sr: int,
-    hop: int,
-    fmin: float = 40.0,
-    fmax: float = 800.0,
-    bands_per_octave: int = 2,
-    reliability_threshold: float = 0.12,
-) -> np.ndarray:
-    """Single-utterance dio-style F0 contour (CPU, numpy)."""
-    x = np.asarray(x, dtype=np.float64)
-    n = len(x)
-    T = 1 + n // hop
-    frame_times = np.arange(T) * hop / sr
-    times = np.arange(n) / sr
-
-    n_bands = max(1, int(np.ceil(np.log2(fmax / fmin) * bands_per_octave)))
-    cutoffs = fmin * (2.0 ** (np.arange(1, n_bands + 1) / bands_per_octave))
-
-    best_f0 = np.zeros(T)
-    best_rel = np.full(T, np.inf)
-    for cutoff in cutoffs:
-        y = _lowpass(x, sr, cutoff)
-        if not np.any(np.abs(y) > 1e-9):
-            continue
-        sign = np.signbit(y)
-        rising = np.nonzero(sign[:-1] & ~sign[1:])[0]
-        falling = np.nonzero(~sign[:-1] & sign[1:])[0]
-        dy = np.diff(y)
-        dsign = np.signbit(dy)
-        peaks = np.nonzero(~dsign[:-1] & dsign[1:])[0]
-        dips = np.nonzero(dsign[:-1] & ~dsign[1:])[0]
-
-        estimates = np.stack(
-            [
-                _interval_f0(ev, times, frame_times)
-                for ev in (rising, falling, peaks, dips)
-            ]
-        )  # (4, T)
-        mean = np.mean(estimates, axis=0)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            rel = np.std(estimates, axis=0) / np.maximum(mean, 1e-9)
-        in_band = (mean > cutoff / 2.0) & (mean <= cutoff) & (mean >= fmin) & (mean <= fmax)
-        ok = in_band & np.all(estimates > 0, axis=0) & np.isfinite(rel)
-        better = ok & (rel < best_rel)
-        best_f0 = np.where(better, mean, best_f0)
-        best_rel = np.where(better, rel, best_rel)
-
-    return np.where(best_rel <= reliability_threshold, best_f0, 0.0)
+# Round 4 promoted the tracker itself into the package (VERDICT r3 #7:
+# registry backend type "dio"); this tool keeps only the timing protocol.
+from pitchextractor_tpu.labels.dio import dio_style_track  # noqa: E402
 
 
 @click.command()
