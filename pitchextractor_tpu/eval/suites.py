@@ -257,13 +257,16 @@ def _ffmpeg_roundtrip(audio: np.ndarray, sr: int, codec: str, bitrate_kbps: int)
 
 
 def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict]:
-    """Resample round trips + real ffmpeg codecs + in-tree codec proxies.
+    """Resample round trips + REAL codecs + in-tree codec proxies.
 
-    Real-codec rows (``suite: codec``) run only when ffmpeg exists on the
-    host (reference codec notebook cells 4, 9); the proxy rows
-    (``suite: codec_proxy``, dsp/codec_proxy.py — μ-law/A-law companding and
-    bitrate-proportional MDCT quantization) always run, so the codec
-    degradation family executes on every host.  The two families are
+    Real-codec rows (``suite: codec``) run through the in-image codec
+    *libraries* first (io/codecs_native.py — LAME/mpg123 for mp3, libopus
+    for opus: the same codecs ffmpeg would drive, bound in-process), then
+    fall back to an ffmpeg binary when present (reference codec notebook
+    cells 4, 9); a codec with neither backend records a skipped row.  The
+    proxy rows (``suite: codec_proxy``, dsp/codec_proxy.py — μ-law/A-law
+    companding and bitrate-proportional MDCT quantization) always run, so
+    the codec degradation family executes on every host.  The families are
     reported separately — proxies never masquerade as real codecs.
     """
     config = config or {}
@@ -289,15 +292,22 @@ def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict
     for rate in target_rates:
         waves.append(resample_np(resample_np(clean, sr, int(rate)), int(rate), sr)[: len(clean)])
         tags.append({"suite": "bandwidth", "condition": f"roundtrip_{rate}"})
+    from ..io.codecs_native import codec_roundtrip as _native_roundtrip
+
     for codec, kbps in codecs:
-        decoded = _ffmpeg_roundtrip(clean, sr, codec, int(kbps))
+        decoded = _native_roundtrip(clean, sr, codec, int(kbps))
+        backend = "native"
+        if decoded is None:
+            decoded = _ffmpeg_roundtrip(clean, sr, codec, int(kbps))
+            backend = "ffmpeg"
         if decoded is None:
             skipped.append(
-                {"suite": "codec", "condition": f"{codec}_{kbps}k", "skipped": "ffmpeg unavailable"}
+                {"suite": "codec", "condition": f"{codec}_{kbps}k",
+                 "skipped": "no codec backend (native lib or ffmpeg)"}
             )
             continue
         waves.append(decoded)
-        tags.append({"suite": "codec", "condition": f"{codec}_{kbps}k"})
+        tags.append({"suite": "codec", "condition": f"{codec}_{kbps}k", "backend": backend})
     for name, param in proxy_specs:
         fn = PROXY_CODECS.get(str(name))
         if fn is None:

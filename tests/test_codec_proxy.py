@@ -112,14 +112,26 @@ def test_codec_suite_runs_proxy_rows():
     assert len(proxy_rows) == 2
     assert all(isinstance(r.get("RPA"), float) for r in proxy_rows)
     assert all(str(r["condition"]).startswith("proxy_") for r in proxy_rows)
-    # real-codec rows are skipped-with-reason on this ffmpeg-less image,
-    # never silently missing
-    skipped = [r for r in rows if r.get("skipped")]
+    # real-codec rows: executed through the in-image codec libraries when
+    # present (io/codecs_native.py), skipped-with-reason otherwise — never
+    # silently missing
     import shutil
 
-    if shutil.which("ffmpeg") is None:
-        assert len(skipped) == 5  # default real-codec list
+    from pitchextractor_tpu.io.codecs_native import available_codecs
+
+    avail = available_codecs()
+    have_ffmpeg = shutil.which("ffmpeg") is not None
+    skipped = [r for r in rows if r.get("skipped")]
+    real = [r for r in rows if r.get("suite") == "codec" and not r.get("skipped")]
+    # default list: 2x libopus, 2x libmp3lame, 1x aac
+    expect_real = 2 * int(avail["libopus"]) + 2 * int(avail["libmp3lame"])
+    if not have_ffmpeg:
+        assert len(real) == expect_real
+        assert len(skipped) == 5 - expect_real
         assert all(r["suite"] == "codec" for r in skipped)
+    if expect_real:
+        assert all(r.get("backend") == "native" for r in real)
+        assert all(isinstance(r.get("RPA"), float) for r in real)
 
 
 def test_summarize_reports_families_and_skips():
