@@ -56,6 +56,8 @@ def _bench_train_step(
         dtype=None
         if os.environ.get("PEX_CONV_F32")
         else activation_dtype_from("bf16"),
+        # A/B knob for the lane-native packed trunk (models/freq_pack.py)
+        freq_pack=bool(os.environ.get("PEX_FREQ_PACK")),
     )
     tx, schedule = build_optimizer(
         {

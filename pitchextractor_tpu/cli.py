@@ -101,6 +101,9 @@ def run(config_path: str, max_steps=None) -> int:
         num_class=model_config.get("num_class", 1),  # 1 => F0 regression
         sequence_model_config=model_config.get("sequence_model", {}),
         dtype=activation_dtype_from(model_config.get("activation_dtype")),
+        # lane-native packed trunk layout (models/freq_pack.py) — exact
+        # same function and checkpoints, TPU memory-traffic optimization
+        freq_pack=bool(model_config.get("freq_pack", False)),
     )
 
     scheduler_params = {

@@ -409,6 +409,8 @@ def load_model(
     model = JDCNet(
         num_class=num_class,
         sequence_model_config=model_params.get("sequence_model", {}) or {},
+        # layout-only knob, checkpoint-identical either way (freq_pack.py)
+        freq_pack=bool(model_params.get("freq_pack", False)),
     )
     dummy = jnp.zeros((1, 8, 80, 1), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), dummy, train=False)

@@ -80,13 +80,26 @@ def _leaky_relu(x, slope):
 
 
 class ConvBlock(nn.Module):
-    """Input conv block (reference model.py:23-28)."""
+    """Input conv block (reference model.py:23-28).
+
+    ``packed=True`` runs the mathematically-identical frequency-packed
+    layout (models/freq_pack.py): input arrives packed ``(B, T, 40, 2)``
+    and every C=64 activation lives as a lane-native ``(B, T, 40, 128)``
+    tensor.  Parameter names/shapes are unchanged in both modes."""
 
     leaky_relu_slope: float = 0.01
     dtype: Optional[Any] = None
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.packed:
+            from .freq_pack import PackedBatchNorm, PackedConv
+
+            x = PackedConv(64, 1, dtype=self.dtype, name="conv1")(x)
+            x = PackedBatchNorm(64, use_running_average=not train, dtype=self.dtype, name="bn")(x)
+            x = _leaky_relu(x, self.leaky_relu_slope)
+            return PackedConv(64, 64, dtype=self.dtype, name="conv2")(x)
         x = nn.Conv(64, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         x = _leaky_relu(x, self.leaky_relu_slope)
@@ -101,16 +114,30 @@ class ResBlock(nn.Module):
     out_channels: int
     leaky_relu_slope: float = 0.01
     dtype: Optional[Any] = None
+    # input arrives frequency-packed (models/freq_pack.py): run the exact
+    # packed pre-activation; the MaxPool(1,2) of packed pairs lands the
+    # result back in unpacked layout for the (already lane-native) convs
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        in_channels = x.shape[-1]
-        downsample = in_channels != self.out_channels
+        if self.packed_input:
+            from .freq_pack import PackedBatchNorm, maxpool2_packed
 
-        # BN / LReLU / MaxPool(1,2) on the frequency axis
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="pre_bn")(x)
-        x = _leaky_relu(x, self.leaky_relu_slope)
-        x = _max_pool_freq(x, 2)
+            c_in = x.shape[-1] // 2
+            x = PackedBatchNorm(c_in, use_running_average=not train, dtype=self.dtype, name="pre_bn")(x)
+            x = _leaky_relu(x, self.leaky_relu_slope)
+            x = maxpool2_packed(x)
+            in_channels = c_in
+            downsample = in_channels != self.out_channels
+        else:
+            in_channels = x.shape[-1]
+            downsample = in_channels != self.out_channels
+
+            # BN / LReLU / MaxPool(1,2) on the frequency axis
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="pre_bn")(x)
+            x = _leaky_relu(x, self.leaky_relu_slope)
+            x = _max_pool_freq(x, 2)
 
         h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False, kernel_init=xavier_normal, dtype=self.dtype, name="conv1")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="bn")(h)
@@ -136,6 +163,12 @@ class JDCNet(nn.Module):
     num_class: int = 1
     leaky_relu_slope: float = 0.01
     sequence_model_config: Optional[Dict[str, Any]] = None
+    # Frequency-pair channel packing for the C=64 trunk levels
+    # (models/freq_pack.py): exact same function, lane-native layout —
+    # no 64->128 channel padding on the conv_block/res1-preact tensors.
+    # Pure runtime layout choice; checkpoints are identical either way
+    # (config: model_params.freq_pack).
+    freq_pack: bool = False
     # Activation dtype for the convolutional trunk (None = float32).
     # ``jnp.bfloat16`` halves the HBM bytes of the conv + elementwise
     # categories, which the leg-9 trace measured as 50 + 36 ms of the
@@ -215,9 +248,21 @@ class JDCNet(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        convblock_out = ConvBlock(slope, dtype=self.dtype, name="conv_block")(x, train=train)
+        if self.freq_pack:
+            from .freq_pack import maxpool40_packed, pack_freq
 
-        res1 = ResBlock(128, slope, dtype=self.dtype, name="res_block1")(convblock_out, train=train)
+            packed_out = ConvBlock(slope, dtype=self.dtype, packed=True, name="conv_block")(
+                pack_freq(x), train=train
+            )
+            res1 = ResBlock(128, slope, dtype=self.dtype, packed_input=True, name="res_block1")(
+                packed_out, train=train
+            )
+            convblock_out = None  # only consumed below via mp1
+            mp1_packed = maxpool40_packed(packed_out)
+        else:
+            convblock_out = ConvBlock(slope, dtype=self.dtype, name="conv_block")(x, train=train)
+            res1 = ResBlock(128, slope, dtype=self.dtype, name="res_block1")(convblock_out, train=train)
+            mp1_packed = None
         res2 = ResBlock(192, slope, dtype=self.dtype, name="res_block2")(res1, train=train)
         res3 = ResBlock(256, slope, dtype=self.dtype, name="res_block3")(res2, train=train)
 
@@ -270,7 +315,7 @@ class JDCNet(nn.Module):
         classifier_in = _head_in(pool)
 
         # auxiliary maxpools collapse frequency to 2 for the detector skip concat
-        mp1 = _max_pool_freq(convblock_out, 40)
+        mp1 = mp1_packed if self.freq_pack else _max_pool_freq(convblock_out, 40)
         mp2 = _max_pool_freq(res1, 20)
         mp3 = _max_pool_freq(res2, 10)
         concat = jnp.concatenate([mp1, mp2, mp3, pool], axis=-1)  # (B, T, 2, 640)

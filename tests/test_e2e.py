@@ -140,3 +140,36 @@ def test_train_cli_end_to_end(corpus, tmp_path):
     assert "auto-resuming" in log_text
     meta3 = json.load(open(str(log_dir / "epoch_00002.ckpt") + ".json"))
     assert meta3["epochs"] == 2  # old checkpoint not overwritten by epoch 3
+
+
+@pytest.mark.slow
+def test_train_cli_freq_pack_end_to_end(corpus, tmp_path):
+    """model_params.freq_pack (the lane-native packed trunk,
+    models/freq_pack.py) through the full shell contract: train 2 epochs,
+    checkpoint is mode-independent, inference from the saved checkpoint
+    rebuilds the packed model and yields a finite contour."""
+    root, train_list, val_list = corpus
+    log_dir = tmp_path / "run_fp"
+    config_path = _write_config(root, train_list, val_list, log_dir)
+    cfg = yaml.safe_load(open(config_path))
+    cfg["model_params"]["freq_pack"] = True
+    with open(config_path, "w") as fh:
+        yaml.safe_dump(cfg, fh)
+
+    from pitchextractor_tpu.cli import run
+
+    assert run(config_path) == 0
+    from pitchextractor_tpu.infer import F0Predictor, latest_checkpoint, load_model
+    from pitchextractor_tpu.io import read_audio
+
+    found = latest_checkpoint(str(log_dir))
+    assert found
+    meta = json.load(open(found + ".json"))
+    assert meta["model_params"]["freq_pack"] is True
+    model, variables = load_model(found)
+    assert model.freq_pack is True
+    predictor = F0Predictor(model, variables)
+    audio, sr = read_audio(open(train_list).readline().split("|")[0])
+    f0 = predictor.predict_f0(audio, sr)
+    assert f0.shape[0] == 1 + len(audio) // 300
+    assert np.isfinite(f0).all()
