@@ -370,6 +370,119 @@ def _steep_glide(rng: np.random.Generator, duration: float):
     return x.astype(np.float32), f0[frame_idx].astype(np.float32)
 
 
+_VOWEL_FORMANTS = [
+    # (F1, F2, F3) Hz — canonical targets for /a e i o u/
+    (800.0, 1200.0, 2500.0),
+    (400.0, 2000.0, 2600.0),
+    (300.0, 2300.0, 3000.0),
+    (500.0, 900.0, 2400.0),
+    (350.0, 800.0, 2300.0),
+]
+
+
+def _shaped_noise(rng: np.random.Generator, m: int, lo_hz: float, hi_hz: float) -> np.ndarray:
+    """Band-shaped white noise (raised-cosine skirts) for bursts/fricatives."""
+    spec = np.fft.rfft(rng.standard_normal(m))
+    freqs = np.fft.rfftfreq(m, 1.0 / SR)
+    gain = np.ones_like(freqs)
+    gain[freqs < lo_hz] = 0.5 * (1 + np.cos(np.pi * np.clip((lo_hz - freqs[freqs < lo_hz]) / max(lo_hz, 1.0), 0, 1)))
+    gain[freqs > hi_hz] = 0.5 * (1 + np.cos(np.pi * np.clip((freqs[freqs > hi_hz] - hi_hz) / max(SR / 2 - hi_hz, 1.0), 0, 1)))
+    out = np.fft.irfft(spec * gain, n=m)
+    return out / max(float(np.std(out)), 1e-9)
+
+
+def _speech_utterance(rng: np.random.Generator, duration: float):
+    """Speech-like utterance: syllable train with consonant transients,
+    coarticulated formant motion, breathiness, jitter/shimmer and syllabic
+    AM (VERDICT r3 #8 — the classes real recordings have and the tone/vowel
+    corpus lacked; reference README.md:31 trains on real wav lists).
+
+    All voiced frames carry exact analytic F0 labels; consonants, closures
+    and word gaps are exact unvoiced (0) frames — so the class also trains
+    rapid voiced/unvoiced alternation at speech rates, which none of the
+    tone classes exercise.
+    """
+    n = int(SR * duration)
+    x = np.zeros(n)
+    f0 = np.zeros(n)
+    base = np.exp(rng.uniform(np.log(90.0), np.log(280.0)))  # speaker register
+    decl_oct = rng.uniform(0.0, 0.35)  # utterance-level declination
+    pos = int(rng.uniform(0.0, 0.15) * SR)
+    min_tail = int(0.12 * SR)
+    while pos < n - min_tail:
+        if rng.random() < 0.25:  # word boundary gap
+            pos += int(rng.uniform(0.05, 0.25) * SR)
+            continue
+        r = rng.random()
+        if r < 0.4:  # plosive: closure silence + 3-15 ms wideband burst
+            pos += int(rng.uniform(0.02, 0.06) * SR)
+            bl = int(rng.uniform(0.003, 0.015) * SR)
+            if pos + bl >= n:
+                break
+            burst = _shaped_noise(rng, bl, rng.uniform(700.0, 2000.0), rng.uniform(4000.0, 10000.0))
+            burst *= np.exp(-np.arange(bl) / max(0.35 * bl, 1.0))  # sharp attack, fast decay
+            x[pos : pos + bl] += rng.uniform(0.08, 0.3) * burst / max(float(np.max(np.abs(burst))), 1e-9)
+            pos += bl + int(rng.uniform(0.0, 0.02) * SR)
+        elif r < 0.7:  # fricative: 40-180 ms sustained shaped noise
+            fl = int(rng.uniform(0.04, 0.18) * SR)
+            if pos + fl >= n:
+                break
+            fric = _shaped_noise(rng, fl, rng.uniform(1500.0, 3500.0), rng.uniform(6000.0, 11000.0))
+            env = np.sin(np.pi * np.arange(fl) / fl) ** 0.5  # smooth on/off
+            x[pos : pos + fl] += rng.uniform(0.03, 0.12) * fric * env
+            pos += fl
+        # voiced nucleus with accent contour + coarticulated formants
+        nl = int(rng.uniform(0.08, 0.45) * SR)
+        nl = min(nl, n - pos - 1)
+        if nl < int(0.05 * SR):
+            break
+        tv = np.arange(nl) / SR
+        u = np.arange(nl) / max(nl - 1, 1)
+        syl_base = base * 2.0 ** (-decl_oct * pos / n + rng.uniform(-2.0, 3.0) / 12.0)
+        accent = (rng.uniform(-4.0, 6.0) / 12.0) * np.sin(np.pi * u)  # rise-fall
+        # jitter: low-passed random F0 perturbation, ~±1%
+        jit = np.cumsum(rng.standard_normal(nl))
+        jit = 0.01 * jit / max(float(np.std(jit)), 1e-9)
+        f0v = np.clip(syl_base * 2.0**accent * (1.0 + jit), 60.0, 500.0)
+        phase = 2 * np.pi * np.cumsum(f0v) / SR
+        # formant crossfade between two vowel targets (coarticulation)
+        va, vb = (_VOWEL_FORMANTS[i] for i in rng.choice(len(_VOWEL_FORMANTS), 2, replace=False))
+        n_part = int(min(28, (SR / 2 - 200.0) / float(f0v.max())))
+        xv = np.zeros(nl)
+        for k in range(1, max(n_part, 1) + 1):
+            fk = k * f0v  # (nl,) time-varying partial frequency
+            gain = np.full(nl, 1e-2)
+            for j in range(3):
+                fc = (1.0 - u) * va[j] + u * vb[j]
+                bw = (90.0, 120.0, 160.0)[j]
+                gain += 1.0 / (1.0 + ((fk - fc) / bw) ** 2)
+            xv += (gain / k**0.7) * np.sin(k * phase)
+        # breathiness: aspiration noise tied to the voiced envelope
+        asp = _shaped_noise(rng, nl, 1500.0, 9000.0)
+        xv += rng.uniform(0.03, 0.22) * float(np.std(xv)) * asp
+        # shimmer + syllabic AM
+        am = 1.0 + rng.uniform(0.05, 0.3) * np.sin(
+            2 * np.pi * rng.uniform(2.0, 8.0) * tv + rng.uniform(0, 2 * np.pi)
+        )
+        edge = max(int(0.012 * SR), 1)
+        env = np.ones(nl)
+        env[:edge] = np.linspace(0.0, 1.0, edge)
+        env[-edge:] = np.linspace(1.0, 0.0, edge)
+        xv *= am * env
+        peak = float(np.max(np.abs(xv)))
+        if peak > 0:
+            xv *= rng.uniform(0.25, 0.6) / peak
+        x[pos : pos + nl] += xv
+        f0[pos : pos + nl] = f0v
+        pos += nl + int(rng.uniform(0.0, 0.06) * SR)
+
+    x += 10.0 ** (-52.0 / 20.0) * rng.standard_normal(n)
+    peak = float(np.max(np.abs(x)))
+    if peak > 0.95:
+        x *= 0.95 / peak
+    return x.astype(np.float32), f0[_frame_idx(n)].astype(np.float32)
+
+
 def make_corpus(
     root: str,
     n: int = 300,
@@ -381,6 +494,7 @@ def make_corpus(
     vibrato_share: float = 0.0,
     wander_share: float = 0.0,
     steepglide_share: float = 0.0,
+    speech_share: float = 0.0,
     augment_share: float = 0.0,
     seed: int = 11,
     min_duration: float = 2.6,
@@ -427,6 +541,7 @@ def make_corpus(
                 vibrato_share,
                 wander_share,
                 steepglide_share,
+                speech_share,
                 tone_share,
             ]
         )
@@ -442,8 +557,10 @@ def make_corpus(
             wave, contour = _wander_tone(rng, duration)
         elif draw < edges[5]:
             wave, contour = _steep_glide(rng, duration)
+        elif draw < edges[6]:
+            wave, contour = _speech_utterance(rng, duration)
         else:
-            synth = tone_synth if draw < edges[6] else vowel_synth
+            synth = tone_synth if draw < edges[7] else vowel_synth
             wave, contour = synth.generate()
         if rng.random() < augment_share:
             wave = _augment(rng, wave)
@@ -485,6 +602,7 @@ def make_corpus(
 @click.option("--vibrato-share", default=0.0, type=float)
 @click.option("--wander-share", default=0.0, type=float)
 @click.option("--steepglide-share", default=0.0, type=float)
+@click.option("--speech-share", default=0.0, type=float)
 @click.option("--augment-share", default=0.0, type=float)
 @click.option(
     "--augment-weights",
@@ -504,6 +622,7 @@ def main(
     vibrato_share,
     wander_share,
     steepglide_share,
+    speech_share,
     augment_share,
     augment_weights,
     seed,
@@ -525,6 +644,7 @@ def main(
             vibrato_share,
             wander_share,
             steepglide_share,
+            speech_share,
             augment_share,
             seed,
         )
