@@ -57,7 +57,9 @@ train_stage() { # train_stage <config> <logdir> <final_ckpt> <per_try_timeout_s>
     step "bench default trunk (run $i)"
     timeout 2400 python bench.py > results/round4/bench_fp0_$i.json; step "rc=$?"
     step "bench freq_pack trunk (run $i)"
-    PEX_FREQ_PACK=1 timeout 3600 python bench.py > results/round4/bench_fp1_$i.json; step "rc=$?"
+    # first run pays the packed program's remote compile (ft1's train-step
+    # compile took 41 min post-cache-wipe) — budget accordingly
+    PEX_FREQ_PACK=1 timeout 4800 python bench.py > results/round4/bench_fp1_$i.json; step "rc=$?"
   done
   gc "round-4 leg2: freq_pack bench A/B" results/round4/bench_fp0_1.json results/round4/bench_fp0_2.json results/round4/bench_fp1_1.json results/round4/bench_fp1_2.json bench_details.json
 
