@@ -275,7 +275,10 @@ def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict
     target_rates = config.get("resample_rates", [8000, 16000, 22050, 32000, 44100])
     codecs = config.get(
         "codecs",
-        [("libopus", 16), ("libopus", 64), ("libmp3lame", 32), ("libmp3lame", 128), ("aac", 32)],
+        # the reference notebook's list (opus/mp3/aac) + an extra real
+        # Layer-II row the in-image libraries make free (io/codecs_native.py)
+        [("libopus", 16), ("libopus", 64), ("libmp3lame", 32), ("libmp3lame", 128),
+         ("libtwolame", 64), ("aac", 32)],
     )
     proxy_specs = config.get(
         "proxy_codecs",

@@ -49,6 +49,7 @@ def _load(*names: str):
 _LAME = _load("libmp3lame.so.0", "libmp3lame.so")
 _MPG123 = _load("libmpg123.so.0", "libmpg123.so")
 _OPUS = _load("libopus.so.0", "libopus.so")
+_TWOLAME = _load("libtwolame.so.0", "libtwolame.so")
 
 # mpg123 error enum (mpg123.h, stable public ABI)
 _MPG123_OK = 0
@@ -111,6 +112,27 @@ def _prototype() -> None:
         ]
         _MPG123.mpg123_getformat.restype = c.c_int
         _MPG123.mpg123_delete.argtypes = [c.c_void_p]
+    if _TWOLAME is not None:
+        _TWOLAME.twolame_init.restype = c.c_void_p
+        for fn in (
+            "twolame_set_in_samplerate",
+            "twolame_set_out_samplerate",
+            "twolame_set_num_channels",
+            "twolame_set_mode",
+            "twolame_set_bitrate",
+        ):
+            getattr(_TWOLAME, fn).argtypes = [c.c_void_p, c.c_int]
+            getattr(_TWOLAME, fn).restype = c.c_int
+        _TWOLAME.twolame_init_params.argtypes = [c.c_void_p]
+        _TWOLAME.twolame_init_params.restype = c.c_int
+        _TWOLAME.twolame_encode_buffer.argtypes = [
+            c.c_void_p, c.POINTER(c.c_short), c.POINTER(c.c_short),
+            c.c_int, c.POINTER(c.c_ubyte), c.c_int,
+        ]
+        _TWOLAME.twolame_encode_buffer.restype = c.c_int
+        _TWOLAME.twolame_encode_flush.argtypes = [c.c_void_p, c.POINTER(c.c_ubyte), c.c_int]
+        _TWOLAME.twolame_encode_flush.restype = c.c_int
+        _TWOLAME.twolame_close.argtypes = [c.POINTER(c.c_void_p)]
     if _OPUS is not None:
         _OPUS.opus_encoder_create.argtypes = [
             c.c_int32, c.c_int, c.c_int, c.POINTER(c.c_int)
@@ -137,6 +159,7 @@ def available_codecs() -> Dict[str, bool]:
     return {
         "libmp3lame": _LAME is not None and _MPG123 is not None,
         "libopus": _OPUS is not None and _opus_supported_rate(24000),
+        "libtwolame": _TWOLAME is not None and _MPG123 is not None,
     }
 
 
@@ -242,6 +265,41 @@ def _mpg123_decode(stream: bytes, expect_sr: int) -> Optional[np.ndarray]:
         _MPG123.mpg123_delete(h)
 
 
+# --------------------------------------------------------------------- mp2
+
+
+def _twolame_encode(audio_i16: np.ndarray, sr: int, kbps: int) -> Optional[bytes]:
+    """MPEG-1/2 Layer II via libtwolame (an extra real-codec family beyond
+    the reference's opus/mp3/aac list; mpg123 decodes Layer II too)."""
+    _prototype()
+    c = ctypes
+    opts = _TWOLAME.twolame_init()
+    if not opts:
+        return None
+    opts_holder = c.c_void_p(opts)
+    try:
+        _TWOLAME.twolame_set_in_samplerate(opts, sr)
+        _TWOLAME.twolame_set_out_samplerate(opts, sr)
+        _TWOLAME.twolame_set_num_channels(opts, 1)
+        _TWOLAME.twolame_set_mode(opts, 3)  # TWOLAME_MONO
+        _TWOLAME.twolame_set_bitrate(opts, int(kbps))
+        if _TWOLAME.twolame_init_params(opts) != 0:
+            return None
+        n = len(audio_i16)
+        out = (c.c_ubyte * (n + n // 4 + 16384))()
+        pcm = audio_i16.ctypes.data_as(c.POINTER(c.c_short))
+        produced = _TWOLAME.twolame_encode_buffer(opts, pcm, pcm, n, out, len(out))
+        if produced < 0:
+            return None
+        data = bytes(out[:produced])
+        produced = _TWOLAME.twolame_encode_flush(opts, out, len(out))
+        if produced < 0:
+            return None
+        return data + bytes(out[:produced])
+    finally:
+        _TWOLAME.twolame_close(c.byref(opts_holder))
+
+
 # -------------------------------------------------------------------- opus
 
 _OPUS_RATES = (8000, 12000, 16000, 24000, 48000)
@@ -329,6 +387,13 @@ def codec_roundtrip(
         if not avail["libmp3lame"]:
             return None
         stream = _lame_encode(_to_i16(audio), sr, bitrate_kbps)
+        if stream is None:
+            return None
+        decoded = _mpg123_decode(stream, sr)
+    elif name in ("libtwolame", "mp2"):
+        if not avail["libtwolame"]:
+            return None
+        stream = _twolame_encode(_to_i16(audio), sr, bitrate_kbps)
         if stream is None:
             return None
         decoded = _mpg123_decode(stream, sr)

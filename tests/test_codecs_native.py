@@ -88,3 +88,15 @@ def test_unknown_codec_returns_none():
 def test_opus_unsupported_rate_returns_none():
     x = np.zeros(1000, np.float32)
     assert codec_roundtrip(x, 22050, "libopus", 32) is None
+
+
+needs_mp2 = pytest.mark.skipif(not AVAIL.get("libtwolame"), reason="twolame not present")
+
+
+@needs_mp2
+def test_mp2_roundtrip_fidelity():
+    x = _tone()
+    y = codec_roundtrip(x, SR, "libtwolame", 64)
+    assert y is not None and len(y) == len(x)
+    assert _snr_db(x, y) > 15
+    assert abs(_domfreq(y) - 220.0) < 2.0
