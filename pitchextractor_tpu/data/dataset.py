@@ -172,6 +172,24 @@ class MelDataset:
         self._audio_metadata_cache: Dict[str, Dict] = {}
         self._invalid_paths: set = set()
 
+        # Bounded in-RAM cache over the on-disk npy caches (mel + f0).
+        # Profiled on the round-4 corpus: np.load costs ~0.6 ms/item
+        # (dominated by header parsing) and the mel files re-read every
+        # epoch; at the B=256 feed rate the loader must deliver items in
+        # <8 ms, so disk-cache reads are a real fraction of the budget.
+        # Entries are keyed by (mtime, size) so the one-shot global cache
+        # invalidation (and any rewrite) naturally drops stale copies.
+        # ``PEX_RAM_CACHE_MB=0`` disables.
+        import threading as _threading
+
+        self._ram_cache: Dict[str, tuple] = {}
+        self._json_cache: Dict[str, tuple] = {}
+        self._ram_cache_bytes = 0
+        self._ram_cache_budget = (
+            int(float(os.environ.get("PEX_RAM_CACHE_MB", "512")) * 1e6)
+        )
+        self._ram_cache_lock = _threading.Lock()
+
         self.mean, self.std = -4, 4
         self.data_augmentation = data_augmentation and (not validation)
         self.max_mel_length = 192
@@ -341,6 +359,16 @@ class MelDataset:
         window = int(self.mel_params.get("win_length") or self.mel_params.get("n_fft", hop))
         need_s = (target_frames * hop + max(window, hop)) / float(self.sr)
         num_frames = int(np.ceil(need_s * float(source_sr)))
+        # Whole-file reads enable the mel disk/RAM cache (segment reads
+        # can't be cached: cache_key=None) and the random crop then happens
+        # at the mel level with the same start distribution.  For files only
+        # modestly longer than the needed window the one-off extra
+        # decode+mel beats recomputing the mel EVERY item — profiled 10.5 ->
+        # ~1 ms/item on the round-4 corpus (~3 s files).  Long files keep
+        # the partial-read path (reference meldataset.py:190-201 semantics).
+        whole_factor = float(os.environ.get("PEX_WHOLE_FILE_FACTOR", "1.8"))
+        if int(total_frames) <= int(num_frames * whole_factor):
+            return 0, None
         if num_frames <= 0 or num_frames >= int(total_frames):
             return 0, None
         start = int(self.rng.integers(0, int(total_frames) - num_frames + 1))
@@ -622,18 +650,55 @@ class MelDataset:
         return f0, False
 
     def _read_json_or_drop(self, path: str):
-        """Parse a cache-metadata JSON; unparseable files are deleted."""
+        """Parse a cache-metadata JSON through the RAM cache (parsing costs
+        ~0.2 ms/item on the hot path); unparseable files are deleted."""
         try:
+            st = os.stat(path)
+            key = (st.st_mtime_ns, st.st_size)
+            with self._ram_cache_lock:
+                hit = self._json_cache.get(path)
+                if hit is not None and hit[0] == key:
+                    return hit[1]
             with open(path, "r", encoding="utf-8") as fh:
-                return json.load(fh)
+                data = json.load(fh)
+            with self._ram_cache_lock:
+                if len(self._json_cache) > 100_000:
+                    self._json_cache.clear()
+                self._json_cache[path] = (key, data)
+            return data
         except (OSError, json.JSONDecodeError):
             self._remove_file_safely(path)
             return None
 
+    def _ram_cached_npy(self, path: str):
+        """np.load through the bounded RAM cache; returns a fresh copy (the
+        cached base array is shared across threads and must stay pristine).
+        Raises like np.load on unreadable files."""
+        if self._ram_cache_budget <= 0:
+            return np.load(path)
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+        with self._ram_cache_lock:
+            hit = self._ram_cache.get(path)
+            if hit is not None and hit[0] == key:
+                return hit[1].copy()
+        arr = np.load(path)
+        with self._ram_cache_lock:
+            prev = self._ram_cache.pop(path, None)
+            if prev is not None:
+                self._ram_cache_bytes -= prev[1].nbytes
+            self._ram_cache[path] = (key, arr)
+            self._ram_cache_bytes += arr.nbytes
+            while self._ram_cache_bytes > self._ram_cache_budget and self._ram_cache:
+                oldest = next(iter(self._ram_cache))  # FIFO (insertion order)
+                _, old = self._ram_cache.pop(oldest)
+                self._ram_cache_bytes -= old.nbytes
+        return arr.copy()
+
     def _read_npy_or_drop(self, path: str):
         """Load a cached .npy as float32; unreadable files are deleted."""
         try:
-            return np.load(path).astype(np.float32)
+            return self._ram_cached_npy(path).astype(np.float32)
         except (OSError, ValueError):
             self._remove_file_safely(path)
             return None
@@ -730,7 +795,6 @@ class MelDataset:
                     expected_metadata = self._build_mel_metadata(waveform, sr)
                 self._save_mel_cache(cache_key, mel, expected_metadata)
 
-        mel = ((np.log(MEL_LOG_OFFSET + mel.astype(np.float64)) - self.mean) / self.std).astype(np.float32)
         mel_length = mel.shape[1]
 
         if f0 is None:
@@ -746,6 +810,10 @@ class MelDataset:
             mel = mel[:, random_start : random_start + self.max_mel_length]
             f0 = f0[random_start : random_start + self.max_mel_length]
             is_silence = is_silence[random_start : random_start + self.max_mel_length]
+
+        # log-norm AFTER the crop (elementwise, commutes with slicing):
+        # identical values, ~2/3 of the flops on a whole-file read
+        mel = ((np.log(MEL_LOG_OFFSET + mel.astype(np.float64)) - self.mean) / self.std).astype(np.float32)
 
         nan_mask = np.isnan(f0)
         if nan_mask.any():
@@ -837,7 +905,7 @@ class MelDataset:
             self._invalidate_mel_cache(meta_cache_path, reason="metadata_mismatch")
             return None
         try:
-            return np.load(mel_cache_path)
+            return self._ram_cached_npy(mel_cache_path)
         except (OSError, ValueError):
             self._invalidate_mel_cache(mel_cache_path, reason="unreadable_cache")
             return None
