@@ -278,7 +278,7 @@ def codec_bandwidth_suite(predictor, config: Optional[Dict] = None) -> List[Dict
         # the reference notebook's list (opus/mp3/aac) + an extra real
         # Layer-II row the in-image libraries make free (io/codecs_native.py)
         [("libopus", 16), ("libopus", 64), ("libmp3lame", 32), ("libmp3lame", 128),
-         ("libtwolame", 64), ("aac", 32)],
+         ("libtwolame", 64), ("aac", 32), ("aac", 128)],
     )
     proxy_specs = config.get(
         "proxy_codecs",

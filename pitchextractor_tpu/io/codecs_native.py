@@ -13,6 +13,12 @@ proxy-only codec coverage):
 - ``libmp3lame``: encode with LAME, decode with mpg123 (feed API).
 - ``libopus``:    raw Opus packets (self-framed — the degradation under
                   test is the codec, not the Ogg container).
+- ``aac``:        libavcodec's native aac encoder/decoder (the codec the
+                  reference's ``-c:a aac`` invokes), via the compiled shim
+                  ``native/libpexcodec.so`` (native/pexcodec.cpp) — ctypes
+                  cannot mirror AVCodecContext struct offsets portably, so
+                  the struct-touching code is compiled against the real
+                  headers instead.
 
 Codec pipelines are not sample-aligned with their input (LAME encoder
 delay + mpg123 gapless handling, Opus lookahead).  Opus is aligned by the
@@ -50,6 +56,47 @@ _LAME = _load("libmp3lame.so.0", "libmp3lame.so")
 _MPG123 = _load("libmpg123.so.0", "libmpg123.so")
 _OPUS = _load("libopus.so.0", "libopus.so")
 _TWOLAME = _load("libtwolame.so.0", "libtwolame.so")
+
+_pexcodec = None
+_pexcodec_attempted = False
+
+
+def _load_pexcodec():
+    """Lazy-load (and lazily build) the compiled libavcodec shim."""
+    global _pexcodec, _pexcodec_attempted
+    if _pexcodec is not None or _pexcodec_attempted:
+        return _pexcodec
+    _pexcodec_attempted = True
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    lib_path = os.path.join(repo, "native", "libpexcodec.so")
+    if not os.path.isfile(lib_path):
+        try:
+            subprocess.run(["make", "-C", os.path.join(repo, "native")],
+                           check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, OSError):
+            return None
+        if not os.path.isfile(lib_path):
+            return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None
+    c = ctypes
+    lib.pexcodec_aac_available.restype = c.c_int32
+    lib.pexcodec_aac_available.argtypes = []
+    lib.pexcodec_aac_roundtrip.restype = c.c_int32
+    lib.pexcodec_aac_roundtrip.argtypes = [
+        c.POINTER(c.c_float), c.c_int64, c.c_int32, c.c_int32,
+        c.POINTER(c.c_float), c.c_int64, c.POINTER(c.c_int64),
+        c.POINTER(c.c_int32),
+    ]
+    if lib.pexcodec_aac_available() != 1:
+        return None
+    _pexcodec = lib
+    return _pexcodec
 
 # mpg123 error enum (mpg123.h, stable public ABI)
 _MPG123_OK = 0
@@ -160,6 +207,7 @@ def available_codecs() -> Dict[str, bool]:
         "libmp3lame": _LAME is not None and _MPG123 is not None,
         "libopus": _OPUS is not None and _opus_supported_rate(24000),
         "libtwolame": _TWOLAME is not None and _MPG123 is not None,
+        "aac": _load_pexcodec() is not None,
     }
 
 
@@ -371,6 +419,34 @@ def _opus_roundtrip(audio_i16: np.ndarray, sr: int, kbps: int) -> Optional[np.nd
             _OPUS.opus_decoder_destroy(dec)
 
 
+# --------------------------------------------------------------------- aac
+
+
+def _aac_roundtrip(audio: np.ndarray, sr: int, kbps: int) -> Optional[np.ndarray]:
+    """AAC round trip through the compiled libavcodec shim (float in/out;
+    AAC is a float-domain codec so no int16 staging is needed)."""
+    lib = _load_pexcodec()
+    if lib is None:
+        return None
+    c = ctypes
+    x = np.ascontiguousarray(np.clip(audio, -1.0, 1.0), dtype=np.float32)
+    cap = len(x) + (1 << 14)  # generous: n + padding/flush tail
+    out = np.empty(cap, dtype=np.float32)
+    out_n = c.c_int64(0)
+    delay = c.c_int32(0)
+    rc = lib.pexcodec_aac_roundtrip(
+        x.ctypes.data_as(c.POINTER(c.c_float)), len(x), int(sr), int(kbps),
+        out.ctypes.data_as(c.POINTER(c.c_float)), cap, c.byref(out_n),
+        c.byref(delay),
+    )
+    if rc != 0 or out_n.value <= 0:
+        return None
+    got = min(int(out_n.value), cap)
+    # drop the encoder's reported leading delay; the caller's xcorr
+    # alignment then only corrects residual sub-frame offsets
+    return out[:got][max(int(delay.value), 0):]
+
+
 # ---------------------------------------------------------------- frontend
 
 
@@ -401,6 +477,10 @@ def codec_roundtrip(
         if not avail["libopus"] or not _opus_supported_rate(sr):
             return None
         decoded = _opus_roundtrip(_to_i16(audio), sr, bitrate_kbps)
+    elif name in ("aac", "libaac"):
+        if not avail["aac"]:
+            return None
+        decoded = _aac_roundtrip(np.asarray(audio, dtype=np.float32), sr, bitrate_kbps)
     else:
         return None
     if decoded is None or decoded.size == 0:

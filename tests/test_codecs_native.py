@@ -80,8 +80,40 @@ def test_opus_is_lossy_not_identity():
 
 
 def test_unknown_codec_returns_none():
-    assert codec_roundtrip(_tone(seconds=0.2), SR, "aac", 32) is None
     assert codec_roundtrip(_tone(seconds=0.2), SR, "not_a_codec", 32) is None
+    assert codec_roundtrip(_tone(seconds=0.2), SR, "vorbis", 32) is None
+
+
+needs_aac = pytest.mark.skipif(not AVAIL.get("aac"), reason="libavcodec shim not present")
+
+
+@needs_aac
+def test_aac_roundtrip_fidelity_and_alignment():
+    x = _tone()
+    y = codec_roundtrip(x, SR, "aac", 128)
+    assert y is not None and len(y) == len(x)
+    # high-bitrate AAC on a sine is near-transparent once the encoder
+    # delay is aligned away
+    assert _snr_db(x, y) > 20
+    assert abs(_domfreq(y) - 220.0) < 2.0
+
+
+@needs_aac
+def test_aac_low_bitrate_lossy_but_tracks_pitch():
+    x = _tone(freq=330.0)
+    y = codec_roundtrip(x, SR, "aac", 32)
+    assert y is not None and len(y) == len(x)
+    assert not np.allclose(x, y, atol=1e-4)  # a real lossy codec
+    assert abs(_domfreq(y) - 330.0) < 2.0
+
+
+@needs_aac
+def test_aac_bitrate_monotonic():
+    x = _tone()
+    lo = codec_roundtrip(x, SR, "aac", 32)
+    hi = codec_roundtrip(x, SR, "aac", 128)
+    assert lo is not None and hi is not None
+    assert _snr_db(x, hi) >= _snr_db(x, lo) - 1.0
 
 
 @needs_opus
