@@ -351,6 +351,60 @@ class DioStyleBackend(BaseF0Backend):
         return f0.astype(np.float64)
 
 
+class HarvestStyleBackend(BaseF0Backend):
+    """In-tree harvest-style tracker (labels/harvest.py) — the executable
+    equivalent of the FIRST stage of the reference's default
+    ``harvest``→``dio`` chain (reference f0_backends.py:109-148,
+    DEFAULT_SEQUENCE :637-640) for images without pyworld.
+
+    Host/numpy by design (see labels/harvest.py); config schema accepts
+    both the framework's ``fmin``/``fmax`` and WORLD's
+    ``f0_floor``/``f0_ceil`` names, mirroring DioStyleBackend.
+    """
+
+    backend_type = "harvest"
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.fmin = self._coerce_float(
+            "fmin", self._coerce_float("f0_floor", 40.0)
+        )
+        self.fmax = self._coerce_float(
+            "fmax", self._coerce_float("f0_ceil", 800.0)
+        )
+        self.candidates_per_octave = int(self.config.get("candidates_per_octave", 12) or 12)
+        self.deviation_threshold = self._coerce_float("deviation_threshold", 0.07)
+        self.min_voiced_frames = int(self.config.get("min_voiced_frames", 3) or 3)
+        self.max_gap_frames = int(self.config.get("max_gap_frames", 12) or 12)
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        from .harvest import harvest_style_track
+
+        sr = int(sr or self.sample_rate)
+        waveform = np.asarray(audio, dtype=np.float64).reshape(-1)
+        if waveform.size == 0:
+            raise BackendComputationError("harvest: empty audio")
+        hop = max(1, int(round(self.frame_period_ms * sr / 1000.0)))
+        try:
+            f0 = harvest_style_track(
+                waveform,
+                sr,
+                hop,
+                fmin=self.fmin,
+                fmax=self.fmax,
+                candidates_per_octave=self.candidates_per_octave,
+                deviation_threshold=self.deviation_threshold,
+                min_voiced_frames=self.min_voiced_frames,
+                max_gap_frames=self.max_gap_frames,
+            )
+        except BackendComputationError:
+            raise
+        except Exception as exc:  # pragma: no cover - defensive
+            raise BackendComputationError(f"harvest tracking failed: {exc}") from exc
+        self.log(f"harvest analysed {f0.shape[0]} frames at sr={sr}.")
+        return f0.astype(np.float64)
+
+
 class CrepeBackend(BaseF0Backend):
     """CREPE CNN in flax, batched on TPU (reference f0_backends.py:151-349).
 

@@ -15,6 +15,7 @@ from .base import BaseF0Backend
 from .backends import (
     CrepeBackend,
     DioStyleBackend,
+    HarvestStyleBackend,
     JaxACBackend,
     JaxYinBackend,
     JDCBackend,
@@ -34,10 +35,12 @@ BACKEND_REGISTRY: Dict[str, Type[BaseF0Backend]] = {
     "jax_pyin": JaxPyinBackend,
     "pyin": JaxPyinBackend,
     "jdc": JDCBackend,
-    # in-tree equivalent of the reference default harvest->dio chain
-    # (f0_backends.py:109-148); works without pyworld installed
+    # in-tree equivalents of the reference default harvest->dio chain
+    # (f0_backends.py:109-148); work without pyworld installed
     "dio": DioStyleBackend,
     "world_dio": DioStyleBackend,
+    "harvest": HarvestStyleBackend,
+    "world_harvest": HarvestStyleBackend,
     # reference-compatible backend types (f0_backends.py:587-593)
     "pyworld": PyWorldBackend,
     "crepe": CrepeBackend,

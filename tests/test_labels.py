@@ -650,3 +650,78 @@ def test_dio_empty_audio_raises():
     backend = DioStyleBackend("dio", SR, HOP, config={})
     with pytest.raises(BackendComputationError):
         backend.compute(np.zeros((0,), dtype=np.float32))
+
+
+# --------------------------------------------------------- harvest backend
+def test_harvest_backend_pure_tone_accuracy():
+    """The in-tree harvest-style equivalent of the reference default chain's
+    FIRST stage (f0_backends.py:637-640) must track clean analytic tones to
+    <50 cents median error."""
+    cfg = {"backend_order": ["harvest"], "backends": {"harvest": {"enabled": True}}}
+    ext = build_f0_extractor(SR, HOP, cfg)
+    for freq in (110.0, 220.0, 440.0):
+        result = ext.compute(_tone(freq))
+        assert result.backend_name == "harvest"
+        voiced = result.f0[result.f0 > 0]
+        assert voiced.size >= 5
+        cents = 1200 * np.abs(np.log2(voiced / freq))
+        assert np.median(cents) < 50
+
+
+def test_harvest_backend_vibrato_and_silence():
+    wav, ref = _vibrato(base=220.0, depth_cents=80.0)
+    cfg = {"backend_order": ["harvest"], "backends": {"harvest": {"enabled": True}}}
+    ext = build_f0_extractor(SR, HOP, cfg)
+    f0 = ext.compute(wav).f0
+    ref_frames = ref[:: HOP][: len(f0)]
+    assert _rpa(f0[: len(ref_frames)], ref_frames) > 0.9
+    silence = ext.backends[0].compute(np.zeros(SR, dtype=np.float32) + 1e-7)
+    assert np.count_nonzero(silence) == 0
+
+
+def test_harvest_bridges_short_gaps_dio_does_not():
+    """The harvest-characteristic behaviour vs dio: short unvoiced gaps
+    between consistent voiced stretches are bridged by interpolation
+    (labels/harvest.py:_clean_contour)."""
+    sr, hop = SR, HOP
+    t = np.arange(sr) / sr
+    gap = hop * 6
+    wav = np.concatenate([
+        0.5 * np.sin(2 * np.pi * 220.0 * t),
+        np.zeros(gap),
+        0.5 * np.sin(2 * np.pi * 225.0 * t),
+    ]).astype(np.float32)
+    from pitchextractor_tpu.labels.backends import HarvestStyleBackend
+
+    backend = HarvestStyleBackend("harvest", sr, hop, config={})
+    f0 = backend.compute(wav)
+    mid = f0[len(t) // hop : len(t) // hop + gap // hop]
+    assert np.all(mid > 0), "gap frames should be bridged"
+    assert np.all((mid > 210) & (mid < 235))
+
+
+def test_harvest_dio_default_chain_in_cascade():
+    """The reference's DEFAULT_SEQUENCE (harvest then dio,
+    f0_backends.py:637-640) as a fully in-tree cascade: both construct,
+    harvest wins on clean audio, and both contribute cache keys."""
+    cfg = {
+        "backend_order": ["world_harvest", "world_dio"],
+        "backends": {
+            "world_harvest": {"enabled": True, "f0_floor": 60.0, "f0_ceil": 500.0},
+            "world_dio": {"enabled": True},
+        },
+    }
+    ext = build_f0_extractor(SR, HOP, cfg)
+    assert [b.name for b in ext.backends] == ["world_harvest", "world_dio"]
+    assert ext.backends[0].fmin == 60.0 and ext.backends[0].fmax == 500.0
+    assert "world_harvest" in ext.cache_identifier and "world_dio" in ext.cache_identifier
+    result = ext.compute(_tone(220.0))
+    assert result.backend_name == "world_harvest"
+
+
+def test_harvest_empty_audio_raises():
+    from pitchextractor_tpu.labels.backends import HarvestStyleBackend
+
+    backend = HarvestStyleBackend("harvest", SR, HOP, config={})
+    with pytest.raises(BackendComputationError):
+        backend.compute(np.zeros((0,), dtype=np.float32))
