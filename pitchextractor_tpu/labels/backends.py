@@ -405,6 +405,59 @@ class HarvestStyleBackend(BaseF0Backend):
         return f0.astype(np.float64)
 
 
+class PraatACBackend(BaseF0Backend):
+    """In-tree Boersma-style autocorrelation tracker (labels/praat_ac.py) —
+    the executable equivalent of the reference's Praat backend
+    (reference f0_backends.py:437-578, ``Sound.to_pitch_ac``) for images
+    without parselmouth.
+
+    Config schema mirrors the knobs the reference passes to
+    ``to_pitch_ac``: ``min_pitch``/``max_pitch``, ``silence_threshold``,
+    ``voicing_threshold``, ``octave_cost``, ``octave_jump_cost``,
+    ``voiced_unvoiced_cost``.
+    """
+
+    backend_type = "praat_ac"
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.min_pitch = self._coerce_float("min_pitch", self._coerce_float("fmin", 40.0))
+        self.max_pitch = self._coerce_float("max_pitch", self._coerce_float("fmax", 800.0))
+        self.silence_threshold = self._coerce_float("silence_threshold", 0.03)
+        self.voicing_threshold = self._coerce_float("voicing_threshold", 0.45)
+        self.octave_cost = self._coerce_float("octave_cost", 0.01)
+        self.octave_jump_cost = self._coerce_float("octave_jump_cost", 0.35)
+        self.voiced_unvoiced_cost = self._coerce_float("voiced_unvoiced_cost", 0.14)
+
+    def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
+        from .praat_ac import praat_ac_track
+
+        sr = int(sr or self.sample_rate)
+        waveform = np.asarray(audio, dtype=np.float64).reshape(-1)
+        if waveform.size == 0:
+            raise BackendComputationError("praat_ac: empty audio")
+        hop = max(1, int(round(self.frame_period_ms * sr / 1000.0)))
+        try:
+            f0 = praat_ac_track(
+                waveform,
+                sr,
+                hop,
+                min_pitch=self.min_pitch,
+                max_pitch=self.max_pitch,
+                silence_threshold=self.silence_threshold,
+                voicing_threshold=self.voicing_threshold,
+                octave_cost=self.octave_cost,
+                octave_jump_cost=self.octave_jump_cost,
+                voiced_unvoiced_cost=self.voiced_unvoiced_cost,
+            )
+        except BackendComputationError:
+            raise
+        except Exception as exc:  # pragma: no cover - defensive
+            raise BackendComputationError(f"praat_ac tracking failed: {exc}") from exc
+        self.log(f"praat_ac analysed {f0.shape[0]} frames at sr={sr}.")
+        return f0.astype(np.float64)
+
+
 class CrepeBackend(BaseF0Backend):
     """CREPE CNN in flax, batched on TPU (reference f0_backends.py:151-349).
 

@@ -16,6 +16,7 @@ from .backends import (
     CrepeBackend,
     DioStyleBackend,
     HarvestStyleBackend,
+    PraatACBackend,
     JaxACBackend,
     JaxYinBackend,
     JDCBackend,
@@ -41,6 +42,10 @@ BACKEND_REGISTRY: Dict[str, Type[BaseF0Backend]] = {
     "world_dio": DioStyleBackend,
     "harvest": HarvestStyleBackend,
     "world_harvest": HarvestStyleBackend,
+    # in-tree equivalent of the reference's Praat to_pitch_ac backend
+    # (f0_backends.py:437-578); works without parselmouth installed
+    "praat_ac": PraatACBackend,
+    "boersma": PraatACBackend,
     # reference-compatible backend types (f0_backends.py:587-593)
     "pyworld": PyWorldBackend,
     "crepe": CrepeBackend,

@@ -725,3 +725,47 @@ def test_harvest_empty_audio_raises():
     backend = HarvestStyleBackend("harvest", SR, HOP, config={})
     with pytest.raises(BackendComputationError):
         backend.compute(np.zeros((0,), dtype=np.float32))
+
+
+# -------------------------------------------------------- praat_ac backend
+def test_praat_ac_pure_tone_accuracy_and_octave_choice():
+    """The in-tree Boersma-style equivalent of the reference's Praat
+    backend (f0_backends.py:437-578): clean tones to <50 cents median, and
+    the octave-cost candidate ranking must pick the true fundamental on a
+    harmonic-rich signal (not the subharmonic)."""
+    cfg = {"backend_order": ["praat_ac"], "backends": {"praat_ac": {"enabled": True}}}
+    ext = build_f0_extractor(SR, HOP, cfg)
+    for freq in (110.0, 220.0, 440.0):
+        result = ext.compute(_tone(freq))
+        assert result.backend_name == "praat_ac"
+        voiced = result.f0[result.f0 > 0]
+        assert voiced.size >= 5
+        assert np.median(1200 * np.abs(np.log2(voiced / freq))) < 50
+    t = np.arange(SR) / SR
+    rich = (0.3 * np.sin(2 * np.pi * 165.0 * t) + 0.5 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+    f0 = ext.compute(rich).f0
+    voiced = f0[f0 > 0]
+    assert np.median(1200 * np.abs(np.log2(voiced / 165.0))) < 50
+
+
+def test_praat_ac_vibrato_silence_and_config_knobs():
+    wav, ref = _vibrato(base=220.0, depth_cents=80.0)
+    cfg = {
+        "backend_order": ["boersma"],
+        "backends": {"boersma": {"enabled": True, "min_pitch": 60.0, "max_pitch": 500.0}},
+    }
+    ext = build_f0_extractor(SR, HOP, cfg)
+    assert ext.backends[0].min_pitch == 60.0 and ext.backends[0].max_pitch == 500.0
+    f0 = ext.compute(wav).f0
+    ref_frames = ref[:: HOP][: len(f0)]
+    assert _rpa(f0[: len(ref_frames)], ref_frames) > 0.9
+    silence = ext.backends[0].compute(np.zeros(SR, dtype=np.float32) + 1e-7)
+    assert np.count_nonzero(silence) == 0
+
+
+def test_praat_ac_empty_audio_raises():
+    from pitchextractor_tpu.labels.backends import PraatACBackend
+
+    backend = PraatACBackend("praat_ac", SR, HOP, config={})
+    with pytest.raises(BackendComputationError):
+        backend.compute(np.zeros((0,), dtype=np.float32))
