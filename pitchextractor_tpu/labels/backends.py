@@ -324,6 +324,18 @@ class DioStyleBackend(BaseF0Backend):
         )
         self.bands_per_octave = int(self.config.get("bands_per_octave", 2) or 2)
         self.reliability_threshold = self._coerce_float("reliability_threshold", 0.12)
+        # stonemask-style refinement (reference f0_backends.py:126-147
+        # applies pw.stonemask to every harvest/dio contour); off by
+        # default here so round-4 dio caches stay valid — when enabled the
+        # cache key grows an ``-sm`` suffix (see cache_key)
+        from .registry import coerce_enabled_flag
+
+        self.use_stonemask = coerce_enabled_flag(self.config.get("stonemask", False))
+
+    @property
+    def cache_key(self) -> str:
+        base = super().cache_key
+        return f"{base}-sm" if self.use_stonemask else base
 
     def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
         from .dio import dio_style_track
@@ -347,6 +359,10 @@ class DioStyleBackend(BaseF0Backend):
             raise
         except Exception as exc:  # pragma: no cover - defensive
             raise BackendComputationError(f"dio tracking failed: {exc}") from exc
+        if self.use_stonemask:
+            from .stonemask import stonemask_refine
+
+            f0 = stonemask_refine(waveform, sr, hop, f0)
         self.log(f"dio analysed {f0.shape[0]} frames at sr={sr}.")
         return f0.astype(np.float64)
 
@@ -376,6 +392,14 @@ class HarvestStyleBackend(BaseF0Backend):
         self.deviation_threshold = self._coerce_float("deviation_threshold", 0.07)
         self.min_voiced_frames = int(self.config.get("min_voiced_frames", 3) or 3)
         self.max_gap_frames = int(self.config.get("max_gap_frames", 12) or 12)
+        from .registry import coerce_enabled_flag
+
+        self.use_stonemask = coerce_enabled_flag(self.config.get("stonemask", False))
+
+    @property
+    def cache_key(self) -> str:
+        base = super().cache_key
+        return f"{base}-sm" if self.use_stonemask else base
 
     def compute(self, audio: np.ndarray, sr: Optional[int] = None) -> np.ndarray:
         from .harvest import harvest_style_track
@@ -401,6 +425,10 @@ class HarvestStyleBackend(BaseF0Backend):
             raise
         except Exception as exc:  # pragma: no cover - defensive
             raise BackendComputationError(f"harvest tracking failed: {exc}") from exc
+        if self.use_stonemask:
+            from .stonemask import stonemask_refine
+
+            f0 = stonemask_refine(waveform, sr, hop, f0)
         self.log(f"harvest analysed {f0.shape[0]} frames at sr={sr}.")
         return f0.astype(np.float64)
 

@@ -727,6 +727,47 @@ def test_harvest_empty_audio_raises():
         backend.compute(np.zeros((0,), dtype=np.float32))
 
 
+# ------------------------------------------------- stonemask refinement
+def test_stonemask_refines_detuned_estimate_and_preserves_unvoiced():
+    """In-tree stonemask (labels/stonemask.py): a 40-cent-detuned coarse
+    contour snaps to <2 cents; unvoiced frames and octave-off estimates
+    pass through untouched (refinement, not correction — reference
+    f0_backends.py:126-147 semantics)."""
+    from pitchextractor_tpu.labels.stonemask import stonemask_refine
+
+    t = np.arange(SR * 2) / SR
+    x = 0.5 * np.sin(2 * np.pi * 220.7 * t)
+    T = 1 + len(x) // HOP
+    coarse = np.full(T, 220.7 * 2 ** (-40 / 1200))
+    coarse[:3] = 0.0
+    refined = stonemask_refine(x, SR, HOP, coarse)
+    assert np.all(refined[:3] == 0.0)
+    cents = 1200 * np.abs(np.log2(refined[3:] / 220.7))
+    assert np.median(cents) < 2.0
+    octave_off = np.full(T, 441.4)
+    kept = stonemask_refine(x, SR, HOP, octave_off)
+    assert np.median(np.abs(kept - 441.4)) < 1.0
+
+
+def test_dio_stonemask_config_flag_and_cache_key():
+    """``stonemask: true`` on the in-tree dio/harvest backends applies the
+    refinement and suffixes the cache key (so label caches invalidate)."""
+    from pitchextractor_tpu.labels.backends import DioStyleBackend, HarvestStyleBackend
+
+    plain = DioStyleBackend("dio", SR, HOP, config={})
+    refined = DioStyleBackend("dio", SR, HOP, config={"stonemask": True})
+    assert plain.cache_key == "dio" and refined.cache_key == "dio-sm"
+    assert HarvestStyleBackend("harvest", SR, HOP, config={"stonemask": "true"}).cache_key == "harvest-sm"
+    wav = _tone(220.0)
+    f0_plain = plain.compute(wav)
+    f0_ref = refined.compute(wav)
+    v = (f0_plain > 0) & (f0_ref > 0)
+    assert v.sum() >= 5
+    err_plain = np.median(1200 * np.abs(np.log2(f0_plain[v] / 220.0)))
+    err_ref = np.median(1200 * np.abs(np.log2(f0_ref[v] / 220.0)))
+    assert err_ref <= err_plain + 1e-9  # refinement never hurts a clean tone
+
+
 # -------------------------------------------------------- praat_ac backend
 def test_praat_ac_pure_tone_accuracy_and_octave_choice():
     """The in-tree Boersma-style equivalent of the reference's Praat
