@@ -206,6 +206,51 @@ def test_octave_correct_snaps_isolated_flips_only():
     np.testing.assert_allclose(octave_correct(vib), vib)
 
 
+def test_octave_decode_viterbi_fixes_sustained_runs():
+    """The continuity decode fixes the flip classes the median snap cannot
+    (sustained 2-21-frame runs, RESULTS.md round-2 stage k) while keeping
+    genuine long octave changes, glides, vibrato, and unvoiced gaps."""
+    import numpy as np
+
+    from pitchextractor_tpu.infer.predict import octave_correct, octave_decode_viterbi
+
+    # sustained 12-frame flip run: median snap (window 9) leaves most of it,
+    # the decode fixes every frame
+    f0 = np.full(100, 220.0, np.float32)
+    f0[40:52] = 440.0
+    f0[10:15] = 0.0
+    med = octave_correct(f0)
+    assert np.any(np.abs(med[40:52] - 220.0) > 1.0)  # median can't fix the run
+    out = octave_decode_viterbi(f0)
+    np.testing.assert_allclose(out[40:52], 220.0, atol=1e-3)
+    assert np.all(out[10:15] == 0)
+    np.testing.assert_allclose(out[70:], 220.0, atol=1e-3)
+
+    # isolated flips (the octave_correct case) are fixed too
+    f1 = np.full(100, 220.0, np.float32)
+    f1[30] = 440.0
+    f1[60] = 110.0
+    out1 = octave_decode_viterbi(f1)
+    assert abs(out1[30] - 220.0) < 1e-3 and abs(out1[60] - 220.0) < 1e-3
+
+    # a GENUINE sustained octave change (60 frames, longer than the
+    # ~2/octave_prior break-even) keeps its raw reading
+    f2 = np.full(120, 220.0, np.float32)
+    f2[60:] = 440.0
+    np.testing.assert_allclose(octave_decode_viterbi(f2), f2)
+
+    # steep glide (~7.6 oct/s at 80 Hz frame rate) passes through
+    glide = (60.0 * 2.0 ** np.linspace(0, 3.0, 33)).astype(np.float32)
+    np.testing.assert_allclose(octave_decode_viterbi(glide), glide)
+
+    # deep vibrato passes through
+    t = np.arange(200)
+    vib = (220.0 * 2.0 ** ((200 / 1200.0) * np.sin(2 * np.pi * t / 24))).astype(
+        np.float32
+    )
+    np.testing.assert_allclose(octave_decode_viterbi(vib), vib)
+
+
 def test_infer_cli_end_to_end(tmp_path):
     """pitchextractor-infer: wavs + --list in, frame-aligned npy/csv out."""
     from click.testing import CliRunner
