@@ -123,15 +123,16 @@ def test_codec_suite_runs_proxy_rows():
     have_ffmpeg = shutil.which("ffmpeg") is not None
     skipped = [r for r in rows if r.get("skipped")]
     real = [r for r in rows if r.get("suite") == "codec" and not r.get("skipped")]
-    # default list: 2x libopus, 2x libmp3lame, 1x libtwolame, 1x aac
+    # default list: 2x libopus, 2x libmp3lame, 1x libtwolame, 2x aac
     expect_real = (
         2 * int(avail["libopus"])
         + 2 * int(avail["libmp3lame"])
         + int(avail["libtwolame"])
+        + 2 * int(avail.get("aac", False))
     )
     if not have_ffmpeg:
         assert len(real) == expect_real
-        assert len(skipped) == 6 - expect_real
+        assert len(skipped) == 7 - expect_real
         assert all(r["suite"] == "codec" for r in skipped)
     if expect_real:
         assert all(r.get("backend") == "native" for r in real)

@@ -51,6 +51,22 @@ train_stage() {
   step "leg-D done; starting leg E"
   mkdir -p results/round4
 
+  # ---- 0: cross-day eval-context probe ----
+  # Leg A recorded b0 codec_bandwidth baseline RPA 0.9752; the same
+  # checkpoint + same code scores ~0.61 on the post-reset environment (CPU
+  # and TPU agree).  Re-run the one suite on the committed b0 checkpoint to
+  # pin down whether the tunnel service update changed eval numerics
+  # (RESULTS round-4 leg D writeup depends on this attribution).
+  step "suites_b0_recheck (codec_bandwidth only)"
+  timeout 1800 python evaluate.py \
+    --checkpoint_dir results/round3/tx_b0_control \
+    --config_path Configs/config_r3_b0_control.yml \
+    --suites codec_bandwidth \
+    --output_dir results/round4/suites_b0_recheck \
+    > results/round4/suites_b0_recheck_summary.json; step "recheck rc=$?"
+  gc "round-4 legE: b0 codec-suite recheck (cross-day eval-context probe)" \
+    results/round4/suites_b0_recheck results/round4/suites_b0_recheck_summary.json
+
   # ---- A: speech-corpus A/B ----
   step "speech corpora"
   timeout 1800 bash tools/make_round4_speech_corpus.sh; step "corpus rc=$?"
