@@ -26,18 +26,29 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "fade_time"))
-def _render_sine_bank(f0_curves, lengths, partial_amps, sr, fade_time=0.02):
-    """(N, S) F0 curves -> (N, S) audio, one device dispatch.
+def _render_sine_bank(phase_mod, lengths, partial_amps, sr, fade_time=0.02):
+    """(N, S) wrapped phase curves -> (N, S) audio, one device dispatch.
+
+    ``phase_mod`` is the accumulated phase wrapped to [0, 2pi), computed in
+    float64 on the host (``_exact_phase``).  Accumulating phase on device in
+    f32 is NOT exact: by mid-clip the phase reaches thousands of radians
+    where the f32 ulp quantizes per-sample increments by up to ~1%, biasing
+    the rendered instantaneous frequency by ~10+ cents in stretches — and
+    the quantization pattern depends on the backend's scan order, so the
+    same nominal stimulus rendered on CPU, TPU, or across compiler updates
+    lands at measurably different frequencies (observed as a cross-day
+    suite-score shift, RESULTS round-4 leg D).  Wrapped f64 host phase makes
+    the stimulus exact and device-independent; ``k * phase_mod`` stays below
+    ~64 rad for the partials used, where f32 sin is sub-cent accurate.
 
     partial_amps: (N, K) harmonic amplitudes; column k drives partial k+1.
     A pure sine bank passes ``[[amplitude]]`` broadcast to (N, 1).
     """
-    f0 = f0_curves.astype(jnp.float64) if f0_curves.dtype == jnp.float64 else f0_curves
-    phase = 2.0 * jnp.pi * jnp.cumsum(f0 / float(sr), axis=-1)
+    phase = phase_mod
     k = jnp.arange(1, partial_amps.shape[1] + 1, dtype=phase.dtype)
     audio = jnp.einsum("nk,nks->ns", partial_amps, jnp.sin(k[None, :, None] * phase[:, None, :]))
 
-    idx = jnp.arange(f0.shape[1])[None, :]
+    idx = jnp.arange(phase.shape[1])[None, :]
     alive = idx < lengths[:, None]
     fade_n = max(int(fade_time * sr), 1)
     denom = max(fade_n - 1, 1)
@@ -144,9 +155,22 @@ def render_bank(
                 amps[i, k - 1] = a
 
     audio = np.asarray(
-        _render_sine_bank(jnp.asarray(f0_curves), jnp.asarray(lengths), jnp.asarray(amps), int(sr))
+        _render_sine_bank(
+            jnp.asarray(_exact_phase(f0_curves, sr)), jnp.asarray(lengths), jnp.asarray(amps), int(sr)
+        )
     )
     return StimulusBank(audio=audio, f0=f0_curves, lengths=lengths, sr=int(sr))
+
+
+def _exact_phase(f0_curves: np.ndarray, sr: int) -> np.ndarray:
+    """Float64 host phase accumulation wrapped to [0, 2pi), cast to f32.
+
+    See ``_render_sine_bank``: the wrap keeps the carried-to-device values
+    small enough that f32 holds them to ~1e-7 rad, so the rendered
+    instantaneous frequency matches the nominal curve to well under a cent
+    regardless of backend."""
+    phase = 2.0 * np.pi * np.cumsum(np.asarray(f0_curves, dtype=np.float64) / float(sr), axis=-1)
+    return np.mod(phase, 2.0 * np.pi).astype(np.float32)
 
 
 # ----------------------------------------------------------------- curves

@@ -307,3 +307,39 @@ def test_compare_dirs_deltas(tmp_path):
     summary = summarize(results)
     assert summary["dynamic_pitch"]["matched_rows"] == 2
     assert summary["dynamic_pitch"]["unmatched_rows"] == 1
+
+
+def test_render_bank_phase_exact_mid_clip():
+    """Stimulus rendering must match the exact float64 waveform all the way
+    through the clip.  The old device-side f32 phase cumsum drifted by whole
+    samples mid-clip (phase reaches thousands of radians where the f32 ulp
+    quantizes per-sample increments), biasing the rendered instantaneous
+    frequency ~10+ cents in a backend-dependent pattern — suite scores moved
+    across compiler updates (RESULTS round-4 leg D).  The fixed renderer
+    accumulates phase in f64 on the host, wrapped mod 2pi."""
+    import numpy as np
+
+    from pitchextractor_tpu.eval.stimuli import render_bank
+
+    sr = 24000
+    for hz, dur in ((277.0, 2.0), (196.0, 4.0)):
+        n = int(dur * sr)
+        curve = np.full(n, hz)
+        bank = render_bank(curve, [n], sr)
+        t = np.arange(n, dtype=np.float64)
+        exact = 0.8 * np.sin(2 * np.pi * hz * (t + 1) / sr)
+        # skip the fade-out tail; check the second half of the clip, where
+        # the old renderer had already drifted by orders of magnitude more
+        err = np.abs(np.asarray(bank.audio[0])[n // 2 : -600] - exact[n // 2 : -600]).max()
+        assert err < 1e-5, (hz, dur, err)
+
+    # harmonics ride the same wrapped phase: k * (phase mod 2pi) == k*phase
+    # mod 2pi for integer k
+    hz, n = 220.0, int(1.0 * 24000)
+    curve = np.full(n, hz)
+    bank = render_bank(curve, [n], sr, partials=[[(1, 0.6), (3, 0.3)]])
+    t = np.arange(n, dtype=np.float64)
+    ph = 2 * np.pi * hz * (t + 1) / sr
+    exact = 0.6 * np.sin(ph) + 0.3 * np.sin(3 * ph)
+    err = np.abs(np.asarray(bank.audio[0])[n // 2 : -600] - exact[n // 2 : -600]).max()
+    assert err < 2e-5, err
