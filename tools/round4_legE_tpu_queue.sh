@@ -67,6 +67,25 @@ train_stage() {
   gc "round-4 legE: b0 codec-suite recheck (cross-day eval-context probe)" \
     results/round4/suites_b0_recheck results/round4/suites_b0_recheck_summary.json
 
+  # ---- 0b: ft1b suites under the EXACT renderer ----
+  # suites_ft1b ran before the exact-stimulus fix (a9057b7) while
+  # suites_flagship runs after it; re-run ft1b so the ladder compare is
+  # same-renderer on both sides.
+  step "suites_ft1b_v2 (exact renderer)"
+  timeout 4500 python evaluate.py \
+    --checkpoint_dir results/round4/flagship_ft1b \
+    --config_path Configs/config_r4_ft1b.yml \
+    --suites all --eval_list Data/real_eval_list.txt \
+    --output_dir results/round4/suites_ft1b_v2 \
+    > results/round4/suites_ft1b_v2_summary.json; step "suites_ft1b_v2 rc=$?"
+  timeout 600 python evaluate.py \
+    --compare results/round4/suites_ft1b_v2 results/round4/suites_flagship \
+    --output_dir results/round4/compare_ft1b_ft2b_v2 \
+    > results/round4/compare_ft1b_ft2b_v2_summary.json; step "compare v2 rc=$?"
+  gc "round-4 legE: ft1b suites re-run under the exact renderer + same-renderer ladder compare" \
+    results/round4/suites_ft1b_v2 results/round4/suites_ft1b_v2_summary.json \
+    results/round4/compare_ft1b_ft2b_v2 results/round4/compare_ft1b_ft2b_v2_summary.json
+
   # ---- A: speech-corpus A/B ----
   step "speech corpora"
   timeout 1800 bash tools/make_round4_speech_corpus.sh; step "corpus rc=$?"
