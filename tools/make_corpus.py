@@ -499,6 +499,7 @@ def make_corpus(
     seed: int = 11,
     min_duration: float = 2.6,
     max_duration: float = 3.2,
+    tone_partials_max: int = 4,
 ) -> dict:
     from pitchextractor_tpu.data.synthetic import HarmonicSynthesizer
     from pitchextractor_tpu.io import write_wav
@@ -524,7 +525,7 @@ def make_corpus(
         SR,
         HOP,
         1024,
-        config={**base_cfg, "tone_probability": 1.0, "tone_partials_max": 4},
+        config={**base_cfg, "tone_probability": 1.0, "tone_partials_max": int(tone_partials_max)},
         rng=rng,
     )
 
@@ -610,6 +611,14 @@ def make_corpus(
     type=str,
     help="six comma-separated draw weights: lowpass,clip,agc,white,pink,reverb",
 )
+@click.option(
+    "--tone-partials-max",
+    default=4,
+    type=int,
+    help="max harmonics for the tone class; 1 = pure sines (the robustness "
+    "suites' single-partial regime, where the trained models show band "
+    "holes — RESULTS round-4 leg D)",
+)
 @click.option("--seed", default=11, type=int)
 def main(
     root,
@@ -625,6 +634,7 @@ def main(
     speech_share,
     augment_share,
     augment_weights,
+    tone_partials_max,
     seed,
 ):
     if augment_weights:
@@ -647,6 +657,7 @@ def main(
             speech_share,
             augment_share,
             seed,
+            tone_partials_max=tone_partials_max,
         )
     )
 

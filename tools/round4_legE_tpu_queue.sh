@@ -86,6 +86,33 @@ train_stage() {
     results/round4/suites_ft1b_v2 results/round4/suites_ft1b_v2_summary.json \
     results/round4/compare_ft1b_ft2b_v2 results/round4/compare_ft1b_ft2b_v2_summary.json
 
+  # ---- 0c: ft3b pure-sine-targeted fine-tune ----
+  # The exact-renderer tone map (RESULTS leg D) shows +60-220 cent band
+  # holes on single-partial sines — the suites' stimulus regime but ~4.5%
+  # of the corpus.  Round-2's stage-k recipe (add the missing class,
+  # fine-tune, re-suite) applied to the round-4 ladder.
+  step "tone corpus"
+  timeout 1800 bash tools/make_round4_tone_corpus.sh; step "tone corpus rc=$?"
+  train_stage Configs/config_r4_ft3b.yml results/round4/flagship_ft3b epoch_00200.ckpt 4500 \
+    "round-4 flagship ladder ft3b (pure-sine-targeted) checkpoint"
+  run_suites_ft3b() {
+    timeout 4500 python evaluate.py \
+      --checkpoint_dir results/round4/flagship_ft3b \
+      --config_path Configs/config_r4_ft3b.yml \
+      --suites all --eval_list Data/real_eval_list.txt \
+      --output_dir results/round4/suites_ft3b \
+      > results/round4/suites_ft3b_summary.json; step "suites_ft3b rc=$?"
+    timeout 600 python evaluate.py \
+      --compare results/round4/suites_flagship results/round4/suites_ft3b \
+      --output_dir results/round4/compare_ft2b_ft3b \
+      > results/round4/compare_ft2b_ft3b_summary.json; step "compare ft2b-ft3b rc=$?"
+  }
+  step "suites_ft3b"
+  run_suites_ft3b
+  gc "round-4 legE: ft3b suites + ft2b-vs-ft3b compare" \
+    results/round4/suites_ft3b results/round4/suites_ft3b_summary.json \
+    results/round4/compare_ft2b_ft3b results/round4/compare_ft2b_ft3b_summary.json
+
   # ---- A: speech-corpus A/B ----
   step "speech corpora"
   timeout 1800 bash tools/make_round4_speech_corpus.sh; step "corpus rc=$?"
