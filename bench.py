@@ -56,8 +56,11 @@ def _bench_train_step(
         dtype=None
         if os.environ.get("PEX_CONV_F32")
         else activation_dtype_from("bf16"),
-        # A/B knob for the lane-native packed trunk (models/freq_pack.py)
-        freq_pack=bool(os.environ.get("PEX_FREQ_PACK")),
+        # Lane-native packed trunk (models/freq_pack.py): ON by default since
+        # the round-4 leg-F A/B (+7.1% utt/s, -6.1% device step time,
+        # results/round4/bench_legF_freqpack.json); exact + checkpoint-
+        # identical (9 parity gates).  PEX_NO_FREQ_PACK=1 opts out for A/B.
+        freq_pack=not os.environ.get("PEX_NO_FREQ_PACK"),
     )
     tx, schedule = build_optimizer(
         {
